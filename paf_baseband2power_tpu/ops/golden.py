@@ -1,0 +1,58 @@
+"""NumPy golden model for the baseband->power conversion.
+
+This is the parity oracle for every device kernel in the framework. It
+implements, in double precision, the compute contract the reference specifies
+but never shipped (usage string ``paf_baseband2power.cu:20`` "detect baseband
+data with original channels and average the detected data in time"; output
+spec ``header_baseband2power.txt:39-42``: NBIT 32, NDIM 1, NPOL 1, NCHAN 336;
+integration length ``README.md:2``: 1024*1024 samples = 0.884736 s):
+
+    unpack int16 I/Q -> |x|^2 summed over both polarizations -> sum over
+    exactly NSAMP_INT time samples -> one float32 power per channel.
+
+One input ring block (8192 frames x 48 chunks) holds exactly one integration
+window (8192 * 128 = 1024^2 samples), so the model is purely per-block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import BLOCK_SHAPE, NCHAN, NCHAN_CHK, NCHK_NIC
+
+
+def baseband2power_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
+    """Reference power integration in float64.
+
+    Parameters
+    ----------
+    block:
+        int16 voltages shaped ``(ndf, nchk, nsamp_df, nchan_chk, npol, ndim)``
+        (the canonical TFTFP block layout; any leading ``ndf``/``nchk`` sizes
+        are accepted for small-scale testing).
+    mean:
+        If True, divide by the number of integrated samples ("average the
+        detected data in time"); default False matches straight integration
+        (the two differ by the constant 1/NSAMP_INT only).
+
+    Returns
+    -------
+    float32 power of shape ``(nchk * nchan_chk,)`` — 336 channels for the
+    full geometry, ordered channel-major by chunk.
+    """
+    if block.ndim != len(BLOCK_SHAPE):
+        raise ValueError(f"expected {len(BLOCK_SHAPE)}-d block, got {block.shape}")
+    ndf, nchk, nsamp, nchan_chk, npol, ndim = block.shape
+    x = block.astype(np.float64)
+    # |x|^2 over I/Q, summed over both pols, all samples, all frames.
+    power = np.einsum("fcsknd,fcsknd->ck", x, x, optimize=True)
+    if mean:
+        power = power / (ndf * nsamp * npol)
+    return power.reshape(nchk * nchan_chk).astype(np.float32)
+
+
+def expected_output_nbytes(nchk: int = NCHK_NIC) -> int:
+    return nchk * NCHAN_CHK * 4
+
+
+__all__ = ["baseband2power_golden", "expected_output_nbytes", "NCHAN"]

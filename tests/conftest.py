@@ -1,0 +1,18 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Real TPU hardware is single-chip here; multi-chip sharding is validated on a
+virtual CPU mesh, so every test runs with JAX on CPU with 8 host devices.
+Must be set before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
