@@ -1,0 +1,93 @@
+"""Benchmark: baseband->power throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: aggregate complex baseband samples/s through the full
+unpack -> |x|^2 -> integrate conversion of real-geometry blocks
+(8192 frames x 48 chunks x 336 channels x 2 pols = 704,643,072 complex
+samples = 2.8 GB per block), steady-state streaming (chained dispatches,
+one final fetch — matching the pipeline's overlap discipline).
+
+Baseline: the reference pipeline's hard real-time requirement of
+796.4 Msamp/s per node (BASELINE.md — the reference publishes no measured
+figures, so real-time is the bar it must clear; vs_baseline = value /
+796.4e6 = how many real-time BMF streams one chip sustains).
+
+Blocks are generated directly on device in the production 2-D layout
+(host->device of 2.8 GB through the tunnel would measure the link, not the
+kernel; the streaming ingest path is benchmarked separately).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.ops.pallas_power import LANES_PER_CHUNK
+
+BASELINE_SAMPLES_PER_SEC = 796.4e6  # 336 chan * 2 pol * 1.185185 Msamp/s
+
+
+def make_block_2d(ndf: int, seed: int = 0) -> jax.Array:
+    shape = (ndf, C.NCHK_NIC * LANES_PER_CHUNK)
+    key = jax.random.key(seed)
+    gen = jax.jit(
+        lambda k: jax.random.randint(k, shape, -256, 256, dtype=jnp.int16)
+    )
+    return gen(key).block_until_ready()
+
+
+def get_step(impl: str):
+    if impl in ("auto", "pallas"):
+        try:
+            from paf_baseband2power_tpu.ops.pallas_power import (
+                baseband2power_pallas,
+            )
+            return baseband2power_pallas, "pallas"
+        except Exception:
+            if impl == "pallas":
+                raise
+    from paf_baseband2power_tpu.ops.power import baseband2power_2d
+    return baseband2power_2d, "xla"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--quick", action="store_true",
+                    help="reduced block for smoke testing")
+    args = ap.parse_args()
+
+    ndf = 256 if args.quick else C.NDF_BLK
+    step, impl = get_step(args.impl)
+    block = make_block_2d(ndf)
+    samples_per_block = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
+
+    # Warmup / compile; np.asarray forces completion (block_until_ready is
+    # unreliable under the axon tunnel).
+    np.asarray(step(block))
+    iters = max(3, args.iters // 4) if args.quick else args.iters
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step(block)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    value = samples_per_block / dt
+    print(json.dumps({
+        "metric": f"baseband samples/s/chip (unpack+detect+integrate, {impl})",
+        "value": value,
+        "unit": "samples/s",
+        "vs_baseline": value / BASELINE_SAMPLES_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""JAX/XLA compute path: unpack int16 baseband -> detect |x|^2 -> integrate.
+
+This is the TPU-native re-design of the reference's (unshipped) GPU stage
+(contract: ``paf_baseband2power.cu:20-27`` usage, ``header_baseband2power.txt:
+39-42`` output spec, ``README.md:2`` integration math). Instead of discrete
+H2D-copy / unpack-kernel / detect-kernel / reduce-kernel launches, the whole
+conversion is a single jitted expression: XLA fuses the int16->f32 convert,
+square, and the first reduction stage into one pass over HBM, which is the
+speed-of-light formulation for this bandwidth-bound op.
+
+Numerical contract: accumulation is hierarchical in float32 — samples within
+a frame first (<= 2^9 terms), then across frames (<= 2^13 terms) — keeping
+round-off well inside the float32 parity bound vs the float64 golden model.
+
+Input layouts accepted:
+  * canonical block array  (ndf, nchk, NSAMP_DF, NCHAN_CHK, NPOL, NDIM) int16
+  * raw ring-block bytes   (nbytes,) uint8  (zero-copy reinterpret on device)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    DT_SIZE,
+    NCHAN_CHK,
+    NCHK_NIC,
+    NDF_BLK,
+    NDIM_POL,
+    NPOL_SAMP,
+    NSAMP_DF,
+)
+
+
+def unpack_voltage(block: jax.Array) -> jax.Array:
+    """int16 I/Q block -> complex64 voltages of shape (ndf, nchk, nsamp,
+    nchan_chk, npol).
+
+    The complex view is only needed by the channelizer path; the direct
+    power path never materializes it (|x|^2 needs no complex arithmetic).
+    """
+    x = block.astype(jnp.float32)
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def bytes_to_block_device(raw: jax.Array, ndf: int = NDF_BLK,
+                          nchk: int = NCHK_NIC) -> jax.Array:
+    """Reinterpret raw ring-buffer bytes as the canonical int16 block.
+
+    Little-endian byte pairing matches the wire format; pure bitcast, no
+    data movement beyond the load itself.
+    """
+    pairs = raw.reshape(ndf, nchk, NSAMP_DF, NCHAN_CHK, NPOL_SAMP, NDIM_POL, 2)
+    return jax.lax.bitcast_convert_type(pairs, jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("mean",))
+def baseband2power(block: jax.Array, mean: bool = False) -> jax.Array:
+    """Detect + integrate one block: -> float32 power per channel.
+
+    Output shape ``(nchk * NCHAN_CHK,)`` (336 for full geometry), channel
+    index = chunk * 7 + chan, matching the golden model and the reference's
+    output header (NCHAN 336, NPOL 1, NDIM 1).
+    """
+    ndf, nchk, nsamp, nchan_chk, npol, ndim = block.shape
+    x = block.astype(jnp.float32)
+    # Stage 1: everything inside a frame (nsamp*npol*ndim <= 512 terms).
+    # XLA fuses convert+mul+reduce; layout keeps nchan_chk*... in lanes.
+    partial = jnp.sum(x * x, axis=(2, 4, 5))          # (ndf, nchk, nchan_chk)
+    # Stage 2: across frames (<= 8192 terms).
+    power = jnp.sum(partial, axis=0)                   # (nchk, nchan_chk)
+    if mean:
+        power = power / (ndf * nsamp * npol)
+    return power.reshape(nchk * nchan_chk)
+
+
+@functools.partial(jax.jit, static_argnames=("ndf", "nchk", "mean"))
+def baseband2power_bytes(raw: jax.Array, ndf: int = NDF_BLK,
+                         nchk: int = NCHK_NIC, mean: bool = False) -> jax.Array:
+    """Power integration straight from raw ring-block bytes (uint8)."""
+    if raw.size != ndf * nchk * DT_SIZE:
+        raise ValueError(
+            f"raw block must be {ndf * nchk * DT_SIZE} bytes, got {raw.size}"
+        )
+    return baseband2power(bytes_to_block_device(raw, ndf, nchk), mean=mean)
+
+
+@functools.partial(jax.jit, static_argnames=("mean",))
+def baseband2power_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
+    """XLA power path on the 2-D device layout ``(ndf, nchk*3584) int16``.
+
+    The 2-D layout is the production on-device form (see pallas_power.py:
+    a 6-D device array costs a full relayout copy in front of any kernel).
+    The big reduce runs over the frame axis with 3584-wide lanes; the tiny
+    lane fold (samples x pol x dim -> channel) happens on the reduced
+    (lanes,) partial only.
+    """
+    ndf, lanes = block2d.shape
+    if lanes % (DT_SIZE // 2):
+        raise ValueError(f"lane dim {lanes} not a multiple of {DT_SIZE // 2}")
+    nchk = lanes // (DT_SIZE // 2)
+    x = block2d.astype(jnp.float32)
+    partial = jnp.sum(x * x, axis=0)                  # (lanes,)
+    power = (
+        partial.reshape(nchk, NSAMP_DF, NCHAN_CHK, NPOL_SAMP * NDIM_POL)
+        .sum(axis=(1, 3))
+        .reshape(nchk * NCHAN_CHK)
+    )
+    if mean:
+        power = power / (ndf * NSAMP_DF * NPOL_SAMP)
+    return power
+
+
+def power_step(block: jax.Array) -> jax.Array:
+    """The flagship single-chip forward step (jittable, donate-friendly)."""
+    if block.ndim == 2:
+        return baseband2power_2d(block)
+    return baseband2power(block)

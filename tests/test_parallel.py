@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.ops import frame as F
+from paf_baseband2power_tpu.ops.golden import baseband2power_golden
+from paf_baseband2power_tpu.parallel import mesh as M
+from paf_baseband2power_tpu.parallel import sharded as S
+
+
+@pytest.fixture(scope="module")
+def block():
+    return F.synthetic_block(rng=21, ndf=64, nchk=C.NCHK_NIC)
+
+
+def _run(mesh, block, **kw):
+    step = S.make_sharded_power_step(mesh, **kw)
+    sharded = S.shard_block(jnp.asarray(block), mesh)
+    return np.asarray(step(sharded))
+
+
+def test_mesh_shapes():
+    m = M.make_mesh()
+    assert m.devices.shape == (8, 1)
+    m = M.make_mesh(n_time=4, n_chunk=2)
+    assert m.devices.shape == (4, 2)
+    m = M.make_mesh(n_chunk=4)
+    assert m.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        M.make_mesh(n_time=3, n_chunk=3)
+
+
+def test_time_sharded_power_parity(block):
+    got = _run(M.make_mesh(n_time=8), block)
+    want = baseband2power_golden(block)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_chunk_sharded_power_parity(block):
+    got = _run(M.make_mesh(n_chunk=8), block)
+    want = baseband2power_golden(block)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_2d_sharded_power_parity(block):
+    got = _run(M.make_mesh(n_time=4, n_chunk=2), block)
+    want = baseband2power_golden(block)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_2d_sharded_mean(block):
+    got = _run(M.make_mesh(n_time=2, n_chunk=4), block, mean=True)
+    want = baseband2power_golden(block, mean=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_output_sharding_layout(block):
+    mesh = M.make_mesh(n_time=2, n_chunk=4)
+    step = S.make_sharded_power_step(mesh)
+    out = step(S.shard_block(jnp.asarray(block), mesh))
+    assert out.shape == (C.NCHAN,)
+    # output is sharded over the chunk axis only
+    assert out.sharding.spec == jax.sharding.PartitionSpec(M.CHUNK_AXIS)
