@@ -1,0 +1,117 @@
+"""CLI: the TPU compute stage (reference parity: ``paf_baseband2power``).
+
+Reference flags (``paf_baseband2power.cu:20-27``):
+  -a  input  (ring-buffer key in the reference; here a .dada file, a ring
+      key once the native ring is attached, or ``synthetic[:N]``)
+  -b  output (.dada file or ring key)
+  -c  directory for runtime logs
+  -d  device ordinal
+
+Extra flags cover what the reference hard-codes (block geometry, mean mode,
+overlap depth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .. import constants as C
+
+
+def looks_like_ring_key(s: str) -> bool:
+    try:
+        int(s, 16)
+    except ValueError:
+        return False
+    return len(s) <= 8 and not os.path.exists(s)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="paf_baseband2power",
+        description="Detect baseband data with original channels and "
+        "integrate the detected data in time (TPU)",
+    )
+    ap.add_argument("-a", "--input", required=True,
+                    help=".dada file, ring key, or synthetic[:NBLOCKS]")
+    ap.add_argument("-b", "--output", required=True,
+                    help="output .dada file or ring key")
+    ap.add_argument("-c", "--dir", default=None, help="log directory")
+    ap.add_argument("-d", "--device", type=int, default=0,
+                    help="device ordinal")
+    ap.add_argument("--ndf", type=int, default=C.NDF_BLK,
+                    help="frames per block")
+    ap.add_argument("--nchk", type=int, default=C.NCHK_NIC,
+                    help="frequency chunks")
+    ap.add_argument("--mean", action="store_true",
+                    help="average instead of sum over the window")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="blocks in flight (ring NBLK analogue)")
+    ap.add_argument("--stats-json", action="store_true",
+                    help="print run statistics as JSON")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.device:
+        devs = jax.devices()
+        if args.device >= len(devs):
+            # reference behavior: single-visible-device fixup
+            # (paf_baseband2power.cu:87-90)
+            args.device = 0
+        jax.config.update("jax_default_device", devs[args.device])
+
+    from ..runtime.pipeline import (
+        FileSink,
+        FileSource,
+        PowerPipeline,
+        SyntheticSource,
+    )
+    from ..io.dada import output_header
+
+    # --- source -----------------------------------------------------------
+    if args.input.startswith("synthetic"):
+        n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4
+        source = SyntheticSource(n, ndf=args.ndf, nchk=args.nchk)
+        in_header = None
+    elif looks_like_ring_key(args.input):
+        from ..io.ringbuffer import RingSource
+
+        source = RingSource(args.input, ndf=args.ndf, nchk=args.nchk)
+        in_header = source.header
+    else:
+        source = FileSource(args.input, ndf=args.ndf, nchk=args.nchk)
+        in_header = source.header
+
+    # --- sink -------------------------------------------------------------
+    hdr = output_header(
+        utc_start=(in_header or {}).get("UTC_START", "unset"),
+        picoseconds=(in_header or {}).get("PICOSECONDS", "unset"),
+        freq=(in_header or {}).get("FREQ", "unset"),
+        bw=(in_header or {}).get("BW", "unset"),
+        nchan=args.nchk * C.NCHAN_CHK,
+    )
+    if looks_like_ring_key(args.output):
+        from ..io.ringbuffer import RingSink
+
+        sink = RingSink(args.output, header=hdr)
+    else:
+        sink = FileSink(args.output, header=hdr)
+
+    pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir)
+    stats = pipe.run(source, sink)
+    if args.stats_json:
+        print(json.dumps({
+            "nblocks": stats.nblocks,
+            "elapsed_sec": stats.elapsed,
+            "samples_per_sec": stats.samples_per_sec,
+            "realtime_x": stats.realtime_fraction,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

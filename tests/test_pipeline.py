@@ -1,0 +1,101 @@
+"""Streaming pipeline + CLI integration tests (offline, file mode)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.io.dada import DadaFileReader
+from paf_baseband2power_tpu.ops import frame as F
+from paf_baseband2power_tpu.ops.golden import baseband2power_golden
+from paf_baseband2power_tpu.runtime import pipeline as RP
+from paf_baseband2power_tpu.cli import paf_baseband2power as cli_b2p
+from paf_baseband2power_tpu.cli import paf_gen as cli_gen
+
+NDF, NCHK = 32, 8
+
+
+def test_synthetic_source_pipeline_parity():
+    src = RP.SyntheticSource(3, ndf=NDF, nchk=NCHK, seed=5)
+    sink = RP.MemorySink()
+    stats = RP.PowerPipeline(depth=2).run(src, sink)
+    assert stats.nblocks == 3
+    assert len(sink.records) == 3
+    for i, rec in enumerate(sink.records):
+        want = baseband2power_golden(
+            F.synthetic_block(rng=5 + i, ndf=NDF, nchk=NCHK)
+        )
+        np.testing.assert_allclose(rec, want, rtol=1e-5)
+
+
+def test_pipeline_stats():
+    src = RP.SyntheticSource(2, ndf=NDF, nchk=NCHK)
+    stats = RP.PowerPipeline(depth=1).run(src, RP.MemorySink())
+    assert stats.nbytes_in == 2 * NDF * NCHK * C.DT_SIZE
+    assert stats.nbytes_out == 2 * NCHK * C.NCHAN_CHK * 4
+    assert stats.elapsed > 0
+    assert len(stats.block_seconds) == 2
+
+
+def test_gen_and_file_pipeline(tmp_path):
+    """Full offline flow: paf_gen -> paf_baseband2power -> .dada power."""
+    bb = str(tmp_path / "bb.dada")
+    pw = str(tmp_path / "pw.dada")
+    assert cli_gen.main([
+        "-o", bb, "-n", "2", "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--seed", "9",
+    ]) == 0
+    assert os.path.getsize(bb) == C.DADA_HDR_SIZE + 2 * NDF * NCHK * C.DT_SIZE
+
+    assert cli_b2p.main([
+        "-a", bb, "-b", pw, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "-c", str(tmp_path),
+    ]) == 0
+
+    with DadaFileReader(pw) as r:
+        # metadata propagated from the baseband stream
+        assert r.header["UTC_START"] == "2026-01-01-00:00:00"
+        assert r.header.get_int("NCHAN") == NCHK * C.NCHAN_CHK
+        assert r.header.get_int("NBIT") == 32
+        records = list(r.blocks(NCHK * C.NCHAN_CHK * 4))
+    assert len(records) == 2
+    for i, rec in enumerate(records):
+        got = np.frombuffer(rec, "<f4")
+        want = baseband2power_golden(
+            F.synthetic_block(rng=9 + i, ndf=NDF, nchk=NCHK)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+    # log file written (multilog parity)
+    assert os.path.exists(tmp_path / "baseband2power.log")
+
+
+def test_cli_synthetic_input(tmp_path, capsys):
+    pw = str(tmp_path / "pw.dada")
+    assert cli_b2p.main([
+        "-a", "synthetic:3", "-b", pw, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--stats-json",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["nblocks"] == 3
+    assert stats["samples_per_sec"] > 0
+
+
+def test_cli_mean_mode(tmp_path):
+    pw = str(tmp_path / "pw.dada")
+    cli_b2p.main(["-a", "synthetic:1", "-b", pw, "--ndf", str(NDF),
+                  "--nchk", str(NCHK), "--mean"])
+    with DadaFileReader(pw) as r:
+        rec = np.frombuffer(r.read_all(), "<f4")
+    want = baseband2power_golden(
+        F.synthetic_block(rng=0, ndf=NDF, nchk=NCHK), mean=True
+    )
+    np.testing.assert_allclose(rec, want, rtol=1e-5)
+
+
+def test_ring_key_detection():
+    assert cli_b2p.looks_like_ring_key("dada")
+    assert cli_b2p.looks_like_ring_key("adad")
+    assert not cli_b2p.looks_like_ring_key("file.dada")
+    assert not cli_b2p.looks_like_ring_key("synthetic:2")
