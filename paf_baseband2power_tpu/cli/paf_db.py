@@ -1,0 +1,38 @@
+"""CLI: create/destroy shared-memory ring buffers.
+
+The ``dada_db`` analogue the launcher shells out to in the reference
+(``paf-baseband2power.py:114-115,129-130``):
+create with ``-k key -b bufsz -n nbufs``, destroy with ``-k key -d``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="paf_db")
+    ap.add_argument("-k", "--key", required=True, help="ring key")
+    ap.add_argument("-b", "--bufsz", type=int, default=None,
+                    help="bytes per block")
+    ap.add_argument("-n", "--nbufs", type=int, default=4,
+                    help="number of blocks")
+    ap.add_argument("-d", "--destroy", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..io import ringbuffer as rb
+
+    if args.destroy:
+        rb.destroy(args.key)
+        print(f"destroyed ring '{args.key}'")
+        return 0
+    if args.bufsz is None:
+        ap.error("-b/--bufsz is required to create a ring")
+    rb.create(args.key, args.bufsz, args.nbufs)
+    print(f"created ring '{args.key}': {args.nbufs} x {args.bufsz} bytes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""CLI: replay a recorded DADA file into a ring buffer.
+
+Reference parity (``paf_diskdb.cu:12-22``): ``-a key -b dir -c data-file
+-d header-file -e sod``. Behavior contract from ``diskdb.cu:74-124``: write
+the stream header (from the file's own header or an override template),
+then stream whole ring blocks from the file until EOF, then EOD.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="paf_diskdb")
+    ap.add_argument("-a", "--key", required=True, help="target ring key")
+    ap.add_argument("-b", "--dir", default=None, help="log directory")
+    ap.add_argument("-c", "--file", required=True, help="input .dada file")
+    ap.add_argument("-d", "--header", default=None,
+                    help="header template file overriding the file's header")
+    ap.add_argument("-e", "--sod", type=int, default=1,
+                    help="start-of-data flag (0 skips the stream header)")
+    args = ap.parse_args(argv)
+
+    from ..io.dada import DadaFileReader, DadaHeader
+    from ..io.ringbuffer import RingBuffer
+    from ..runtime.log import open_log
+
+    log = open_log("paf_diskdb", args.dir)
+
+    with DadaFileReader(args.file) as reader, RingBuffer(args.key) as ring:
+        ring.lock_write()
+        header = reader.header
+        if args.header:
+            with open(args.header, "rb") as f:
+                header = DadaHeader.parse(f.read())
+        if args.sod:
+            ring.write_header(header)
+        bufsz = ring.bufsz
+        n = 0
+        for raw in reader.blocks(bufsz):
+            view = ring.open_block_write()
+            view[:] = np.frombuffer(raw, np.uint8)
+            ring.close_block_write(bufsz)
+            n += 1
+            log.info("block %d -> ring '%s'", n, args.key)
+        ring.set_eod()
+        ring.unlock_write()
+    log.info("replayed %d blocks from %s", n, args.file)
+    print(f"replayed {n} blocks from {args.file} into ring '{args.key}'")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,321 @@
+/* Implementation of the pafb2p shared-memory ring buffer (see ringbuf.h). */
+
+#include "ringbuf.h"
+
+#include <atomic>
+#include <cerrno>
+#include <new>
+#include <cstdio>
+#include <cstring>
+#include <ctime>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kMagic = 0x50414642325042ULL; /* "PAFB2PB" */
+constexpr uint32_t kVersion = 1;
+constexpr uint64_t kPollUs = 200; /* wait poll interval */
+constexpr uint64_t kNoEod = ~0ULL;
+
+/* Control page at the start of the segment. Cursors are monotonically
+ * increasing block counts (never wrapped), so full/empty tests are simple
+ * subtractions and ABA cannot occur. */
+struct Control {
+  uint64_t magic;
+  uint32_t version;
+  uint32_t hdrsz;
+  uint64_t bufsz;
+  uint32_t nbufs;
+  uint32_t pad0;
+
+  std::atomic<uint64_t> w_opened;  /* blocks opened for write  */
+  std::atomic<uint64_t> w_closed;  /* blocks committed         */
+  std::atomic<uint64_t> r_opened;  /* blocks opened for read   */
+  std::atomic<uint64_t> r_closed;  /* blocks released          */
+  std::atomic<uint64_t> eod_block; /* first block index past end, or kNoEod */
+  std::atomic<uint32_t> hdr_filled;
+  std::atomic<uint32_t> w_locked; /* writer/reader registration */
+  std::atomic<uint32_t> r_locked;
+  /* per-block payload sizes follow, then the header area, then data */
+};
+
+size_t control_bytes(uint32_t nbufs) {
+  return (sizeof(Control) + nbufs * sizeof(uint64_t) + 63) & ~size_t(63);
+}
+
+size_t segment_bytes(uint64_t bufsz, uint32_t nbufs, uint32_t hdrsz) {
+  return control_bytes(nbufs) + hdrsz + bufsz * nbufs;
+}
+
+void shm_name(const char *key, char *out, size_t n) {
+  snprintf(out, n, "/pafb2p-%s", key);
+}
+
+void sleep_us(uint64_t us) {
+  struct timespec ts;
+  ts.tv_sec = static_cast<time_t>(us / 1000000);
+  ts.tv_nsec = static_cast<long>((us % 1000000) * 1000);
+  nanosleep(&ts, nullptr);
+}
+
+} // namespace
+
+struct pafb2p_rb {
+  Control *ctl = nullptr;
+  uint64_t *block_bytes = nullptr;
+  uint8_t *hdr = nullptr;
+  uint8_t *data = nullptr;
+  size_t map_len = 0;
+  bool is_writer = false;
+  bool is_reader = false;
+};
+
+extern "C" {
+
+int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
+                     uint32_t hdrsz) {
+  if (bufsz == 0 || nbufs == 0)
+    return -EINVAL;
+  char name[256];
+  shm_name(key, name, sizeof(name));
+  int fd = shm_open(name, O_CREAT | O_EXCL | O_RDWR, 0600);
+  if (fd < 0)
+    return -errno;
+  size_t len = segment_bytes(bufsz, nbufs, hdrsz);
+  if (ftruncate(fd, static_cast<off_t>(len)) != 0) {
+    int e = errno;
+    close(fd);
+    shm_unlink(name);
+    return -e;
+  }
+  void *p = mmap(nullptr, len, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  close(fd);
+  if (p == MAP_FAILED) {
+    shm_unlink(name);
+    return -errno;
+  }
+  auto *ctl = new (p) Control();
+  ctl->magic = kMagic;
+  ctl->version = kVersion;
+  ctl->hdrsz = hdrsz;
+  ctl->bufsz = bufsz;
+  ctl->nbufs = nbufs;
+  ctl->w_opened.store(0);
+  ctl->w_closed.store(0);
+  ctl->r_opened.store(0);
+  ctl->r_closed.store(0);
+  ctl->eod_block.store(kNoEod);
+  ctl->hdr_filled.store(0);
+  ctl->w_locked.store(0);
+  ctl->r_locked.store(0);
+  munmap(p, len);
+  return 0;
+}
+
+int pafb2p_rb_destroy(const char *key) {
+  char name[256];
+  shm_name(key, name, sizeof(name));
+  return shm_unlink(name) == 0 ? 0 : -errno;
+}
+
+pafb2p_rb *pafb2p_rb_connect(const char *key) {
+  char name[256];
+  shm_name(key, name, sizeof(name));
+  int fd = shm_open(name, O_RDWR, 0600);
+  if (fd < 0)
+    return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  void *p = mmap(nullptr, static_cast<size_t>(st.st_size),
+                 PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  close(fd);
+  if (p == MAP_FAILED)
+    return nullptr;
+  auto *ctl = static_cast<Control *>(p);
+  if (ctl->magic != kMagic || ctl->version != kVersion ||
+      segment_bytes(ctl->bufsz, ctl->nbufs, ctl->hdrsz) !=
+          static_cast<size_t>(st.st_size)) {
+    munmap(p, static_cast<size_t>(st.st_size));
+    return nullptr;
+  }
+  auto *h = new pafb2p_rb();
+  h->ctl = ctl;
+  h->map_len = static_cast<size_t>(st.st_size);
+  h->block_bytes =
+      reinterpret_cast<uint64_t *>(reinterpret_cast<uint8_t *>(p) + sizeof(Control));
+  h->hdr = reinterpret_cast<uint8_t *>(p) + control_bytes(ctl->nbufs);
+  h->data = h->hdr + ctl->hdrsz;
+  return h;
+}
+
+void pafb2p_rb_disconnect(pafb2p_rb *h) {
+  if (!h)
+    return;
+  if (h->is_writer)
+    pafb2p_rb_unlock_write(h);
+  if (h->is_reader)
+    pafb2p_rb_unlock_read(h);
+  munmap(h->ctl, h->map_len);
+  delete h;
+}
+
+uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h) { return h ? h->ctl->bufsz : 0; }
+uint32_t pafb2p_rb_nbufs(const pafb2p_rb *h) { return h ? h->ctl->nbufs : 0; }
+uint32_t pafb2p_rb_hdrsz(const pafb2p_rb *h) { return h ? h->ctl->hdrsz : 0; }
+
+int pafb2p_rb_write_header(pafb2p_rb *h, const char *buf, size_t n) {
+  if (n > h->ctl->hdrsz)
+    return -EMSGSIZE;
+  memcpy(h->hdr, buf, n);
+  if (n < h->ctl->hdrsz)
+    memset(h->hdr + n, 0, h->ctl->hdrsz - n);
+  h->ctl->hdr_filled.store(1, std::memory_order_release);
+  return 0;
+}
+
+int pafb2p_rb_read_header(pafb2p_rb *h, char *buf, size_t n,
+                          uint64_t timeout_us) {
+  uint64_t waited = 0;
+  while (!h->ctl->hdr_filled.load(std::memory_order_acquire)) {
+    if (waited >= timeout_us)
+      return -ETIMEDOUT;
+    sleep_us(kPollUs);
+    waited += kPollUs;
+  }
+  size_t c = n < h->ctl->hdrsz ? n : h->ctl->hdrsz;
+  memcpy(buf, h->hdr, c);
+  return static_cast<int>(c);
+}
+
+int pafb2p_rb_lock_write(pafb2p_rb *h) {
+  uint32_t expect = 0;
+  if (!h->ctl->w_locked.compare_exchange_strong(expect, 1))
+    return -EBUSY; /* single-writer protocol */
+  h->is_writer = true;
+  return 0;
+}
+
+int pafb2p_rb_unlock_write(pafb2p_rb *h) {
+  if (!h->is_writer)
+    return -EPERM;
+  /* an exiting writer that never signalled EOD leaves the stream open-ended;
+   * mark EOD so readers terminate (reference always signals EOD on exit
+   * paths, sync.c:184,196) */
+  if (h->ctl->eod_block.load() == kNoEod)
+    pafb2p_rb_set_eod(h);
+  h->is_writer = false;
+  h->ctl->w_locked.store(0);
+  return 0;
+}
+
+uint8_t *pafb2p_rb_open_block_write(pafb2p_rb *h, uint64_t timeout_us) {
+  if (!h->is_writer)
+    return nullptr;
+  Control *c = h->ctl;
+  uint64_t w = c->w_opened.load(std::memory_order_relaxed);
+  if (w != c->w_closed.load(std::memory_order_relaxed))
+    return nullptr; /* a block is already open */
+  uint64_t waited = 0;
+  while (w - c->r_closed.load(std::memory_order_acquire) >= c->nbufs) {
+    if (waited >= timeout_us)
+      return nullptr; /* ring full */
+    sleep_us(kPollUs);
+    waited += kPollUs;
+  }
+  c->w_opened.store(w + 1, std::memory_order_relaxed);
+  return h->data + (w % c->nbufs) * c->bufsz;
+}
+
+int pafb2p_rb_close_block_write(pafb2p_rb *h, uint64_t nbytes) {
+  Control *c = h->ctl;
+  uint64_t w = c->w_closed.load(std::memory_order_relaxed);
+  if (c->w_opened.load(std::memory_order_relaxed) != w + 1)
+    return -EPERM; /* no block open */
+  if (nbytes > c->bufsz)
+    return -EMSGSIZE;
+  h->block_bytes[w % c->nbufs] = nbytes;
+  c->w_closed.store(w + 1, std::memory_order_release);
+  return 0;
+}
+
+int pafb2p_rb_set_eod(pafb2p_rb *h) {
+  uint64_t end = h->ctl->w_closed.load(std::memory_order_relaxed);
+  h->ctl->eod_block.store(end, std::memory_order_release);
+  return 0;
+}
+
+int pafb2p_rb_lock_read(pafb2p_rb *h) {
+  uint32_t expect = 0;
+  if (!h->ctl->r_locked.compare_exchange_strong(expect, 1))
+    return -EBUSY;
+  h->is_reader = true;
+  return 0;
+}
+
+int pafb2p_rb_unlock_read(pafb2p_rb *h) {
+  if (!h->is_reader)
+    return -EPERM;
+  h->is_reader = false;
+  h->ctl->r_locked.store(0);
+  return 0;
+}
+
+const uint8_t *pafb2p_rb_open_block_read(pafb2p_rb *h, uint64_t *nbytes,
+                                         uint64_t timeout_us) {
+  if (!h->is_reader)
+    return nullptr;
+  Control *c = h->ctl;
+  uint64_t r = c->r_opened.load(std::memory_order_relaxed);
+  if (r != c->r_closed.load(std::memory_order_relaxed))
+    return nullptr; /* a block is already open */
+  uint64_t waited = 0;
+  while (c->w_closed.load(std::memory_order_acquire) == r) {
+    if (c->eod_block.load(std::memory_order_acquire) <= r)
+      return nullptr; /* end of data */
+    if (waited >= timeout_us)
+      return nullptr;
+    sleep_us(kPollUs);
+    waited += kPollUs;
+  }
+  c->r_opened.store(r + 1, std::memory_order_relaxed);
+  if (nbytes)
+    *nbytes = h->block_bytes[r % c->nbufs];
+  return h->data + (r % c->nbufs) * c->bufsz;
+}
+
+int pafb2p_rb_close_block_read(pafb2p_rb *h) {
+  Control *c = h->ctl;
+  uint64_t r = c->r_closed.load(std::memory_order_relaxed);
+  if (c->r_opened.load(std::memory_order_relaxed) != r + 1)
+    return -EPERM;
+  c->r_closed.store(r + 1, std::memory_order_release);
+  return 0;
+}
+
+int pafb2p_rb_at_eod(const pafb2p_rb *h) {
+  Control *c = h->ctl;
+  uint64_t eod = c->eod_block.load(std::memory_order_acquire);
+  if (eod == kNoEod)
+    return 0;
+  return c->r_closed.load(std::memory_order_relaxed) >= eod ? 1 : 0;
+}
+
+uint64_t pafb2p_rb_blocks_written(const pafb2p_rb *h) {
+  return h->ctl->w_closed.load(std::memory_order_relaxed);
+}
+uint64_t pafb2p_rb_blocks_read(const pafb2p_rb *h) {
+  return h->ctl->r_closed.load(std::memory_order_relaxed);
+}
+uint64_t pafb2p_rb_blocks_full(const pafb2p_rb *h) {
+  return h->ctl->w_closed.load(std::memory_order_relaxed) -
+         h->ctl->r_closed.load(std::memory_order_relaxed);
+}
+
+} /* extern "C" */

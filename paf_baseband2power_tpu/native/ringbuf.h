@@ -1,0 +1,73 @@
+/* pafb2p native shared-memory ring buffer.
+ *
+ * A ground-up C++ replacement for the PSRDADA ipcbuf/ipcio fabric the
+ * reference pipeline is built on (SURVEY.md L2: keyed shm segments holding a
+ * header block plus N data blocks, with writer/reader block locking and
+ * SOD/EOD stream framing — behavioral contract from capture.c:586-642,
+ * sync.c:101-110, diskdb.cu:24-67). Differences by design:
+ *
+ *   - POSIX shm (shm_open/mmap) instead of SysV, one segment per ring.
+ *   - Lock-free single-writer/single-reader protocol: monotonically
+ *     increasing block cursors in std::atomic<uint64_t>, waits are
+ *     microsleep polls (block cadence is ~1 Hz at 2.8 GB blocks; no
+ *     cross-process robust-mutex complexity).
+ *   - Explicit per-block byte counts so a final partial block is legal.
+ *
+ * C ABI for ctypes binding; returns 0 on success, negative errno-style
+ * codes on failure.
+ */
+
+#ifndef PAFB2P_RINGBUF_H
+#define PAFB2P_RINGBUF_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct pafb2p_rb pafb2p_rb; /* opaque handle */
+
+/* lifecycle */
+int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
+                     uint32_t hdrsz);
+int pafb2p_rb_destroy(const char *key);
+pafb2p_rb *pafb2p_rb_connect(const char *key);
+void pafb2p_rb_disconnect(pafb2p_rb *h);
+
+/* geometry */
+uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h);
+uint32_t pafb2p_rb_nbufs(const pafb2p_rb *h);
+uint32_t pafb2p_rb_hdrsz(const pafb2p_rb *h);
+
+/* header channel (stream metadata, DADA ASCII by convention) */
+int pafb2p_rb_write_header(pafb2p_rb *h, const char *buf, size_t n);
+int pafb2p_rb_read_header(pafb2p_rb *h, char *buf, size_t n,
+                          uint64_t timeout_us);
+
+/* writer side */
+int pafb2p_rb_lock_write(pafb2p_rb *h);
+int pafb2p_rb_unlock_write(pafb2p_rb *h);
+uint8_t *pafb2p_rb_open_block_write(pafb2p_rb *h, uint64_t timeout_us);
+int pafb2p_rb_close_block_write(pafb2p_rb *h, uint64_t nbytes);
+int pafb2p_rb_set_eod(pafb2p_rb *h); /* mark end-of-data at current cursor */
+
+/* reader side */
+int pafb2p_rb_lock_read(pafb2p_rb *h);
+int pafb2p_rb_unlock_read(pafb2p_rb *h);
+const uint8_t *pafb2p_rb_open_block_read(pafb2p_rb *h, uint64_t *nbytes,
+                                         uint64_t timeout_us);
+int pafb2p_rb_close_block_read(pafb2p_rb *h);
+int pafb2p_rb_at_eod(const pafb2p_rb *h); /* 1 once all written data consumed */
+
+/* observability */
+uint64_t pafb2p_rb_blocks_written(const pafb2p_rb *h);
+uint64_t pafb2p_rb_blocks_read(const pafb2p_rb *h);
+uint64_t pafb2p_rb_blocks_full(const pafb2p_rb *h); /* written-not-yet-read */
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* PAFB2P_RINGBUF_H */

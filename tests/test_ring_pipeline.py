@@ -1,0 +1,99 @@
+"""End-to-end ring-mode pipeline tests: the full 3-process topology."""
+
+import os
+import subprocess
+import sys
+import uuid
+
+import numpy as np
+import pytest
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.io import ringbuffer as rb
+from paf_baseband2power_tpu.io.dada import DadaFileReader
+from paf_baseband2power_tpu.ops import frame as F
+from paf_baseband2power_tpu.ops.golden import baseband2power_golden
+
+NDF, NCHK = 32, 8
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_cli(module, *args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", f"paf_baseband2power_tpu.cli.{module}", *args],
+        env=ENV, capture_output=True, text=True, timeout=180, **kw)
+
+
+@pytest.fixture
+def keys():
+    k_in, k_out = uuid.uuid4().hex[:8], uuid.uuid4().hex[:8]
+    yield k_in, k_out
+    for k in (k_in, k_out):
+        if rb.exists(k):
+            rb.destroy(k)
+
+
+def test_diskdb_to_ring(tmp_path, keys):
+    """paf_diskdb replays a recorded file into a ring, block for block."""
+    key, _ = keys
+    bb = str(tmp_path / "bb.dada")
+    r = run_cli("paf_gen", "-o", bb, "-n", "2", "--ndf", str(NDF),
+                "--nchk", str(NCHK), "--seed", "3")
+    assert r.returncode == 0, r.stderr
+    rb.create(key, NDF * NCHK * C.DT_SIZE, 4)
+
+    r = run_cli("paf_diskdb", "-a", key, "-c", bb, "-b", str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "replayed 2 blocks" in r.stdout
+
+    with rb.RingBuffer(key) as ring:
+        ring.lock_read()
+        assert ring.read_header().get_int("NBIT") == 16
+        for i in range(2):
+            view = ring.open_block_read()
+            want = F.synthetic_block(rng=3 + i, ndf=NDF, nchk=NCHK)
+            np.testing.assert_array_equal(
+                view.view("<i2"), want.reshape(-1))
+            ring.close_block_read()
+        assert ring.open_block_read() is None
+
+
+def test_full_ring_pipeline_via_launcher(tmp_path, keys):
+    """launcher: gen -> diskdb -> baseband2power -> dbdisk over rings,
+    three OS processes, parity against the golden model."""
+    key_in, key_out = keys
+    conf = tmp_path / "pipeline.conf"
+    conf.write_text(
+        f"[BasicConf]\nNCHK_NIC: {NCHK}\n"
+        f"[DiskdbConf]\nNDF: {NDF}\nNBLK: 3\nKEY: {key_in}\n"
+        f"[Baseband2powerConf]\nKEY: {key_out}\nNCHAN: {NCHK * 7}\nNBLK: 2\n"
+    )
+    r = run_cli("launcher", "-c", str(conf), "-a", "synthetic:3",
+                "-b", str(tmp_path), "-o", "power.dada")
+    assert r.returncode == 0, r.stderr + r.stdout
+
+    out = tmp_path / "power.dada"
+    assert out.exists()
+    with DadaFileReader(str(out)) as reader:
+        assert reader.header.get_int("NCHAN") == NCHK * 7
+        recs = list(reader.blocks(NCHK * 7 * 4))
+    assert len(recs) == 3
+    for i, rec in enumerate(recs):
+        want = baseband2power_golden(
+            F.synthetic_block(rng=i, ndf=NDF, nchk=NCHK))
+        np.testing.assert_allclose(np.frombuffer(rec, "<f4"), want, rtol=1e-5)
+    # rings torn down afterwards
+    assert not rb.exists(key_in)
+    assert not rb.exists(key_out)
+    # .key files for operator parity
+    assert (tmp_path / "diskdb.key").read_text().startswith("DADA INFO:")
+
+
+def test_ring_size_mismatch_rejected(tmp_path, keys):
+    """Attach-time size validation, like capture.c:600-612."""
+    key, _ = keys
+    rb.create(key, 12345, 2)
+    from paf_baseband2power_tpu.io.ringbuffer import RingSource
+    with pytest.raises(rb.RingBufferError):
+        RingSource(key, ndf=NDF, nchk=NCHK)

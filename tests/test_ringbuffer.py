@@ -1,0 +1,180 @@
+"""Native ring-buffer tests: protocol, zero-copy views, cross-process."""
+
+import multiprocessing as mp
+import os
+import uuid
+
+import numpy as np
+import pytest
+
+from paf_baseband2power_tpu.io import ringbuffer as rb
+from paf_baseband2power_tpu.io.dada import DadaHeader, output_header
+
+
+@pytest.fixture
+def key():
+    k = uuid.uuid4().hex[:8]
+    yield k
+    if rb.exists(k):
+        rb.destroy(k)
+
+
+def test_create_connect_destroy(key):
+    rb.create(key, bufsz=1024, nbufs=4)
+    assert rb.exists(key)
+    with rb.RingBuffer(key) as ring:
+        assert ring.bufsz == 1024
+        assert ring.nbufs == 4
+        assert ring.hdrsz == 4096
+    rb.destroy(key)
+    assert not rb.exists(key)
+
+
+def test_create_duplicate_fails(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with pytest.raises(rb.RingBufferError):
+        rb.create(key, bufsz=64, nbufs=2)
+
+
+def test_connect_missing_fails():
+    with pytest.raises(rb.RingBufferError):
+        rb.RingBuffer("nonexistent-ring")
+
+
+def test_header_channel(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        hdr = output_header(utc_start="2026-02-02-00:00:00")
+        w.write_header(hdr)
+        got = r.read_header(timeout_us=1000)
+        assert got["UTC_START"] == "2026-02-02-00:00:00"
+
+
+def test_header_read_timeout(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as r:
+        with pytest.raises(rb.RingBufferError):
+            r.read_header(timeout_us=1000)
+
+
+def test_block_protocol_roundtrip(key):
+    rb.create(key, bufsz=256, nbufs=3)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        for i in range(5):  # more blocks than nbufs: cursors advance
+            view = w.open_block_write()
+            view[:] = (np.arange(256) + i).astype(np.uint8)
+            w.close_block_write()
+            got = r.open_block_read()
+            np.testing.assert_array_equal(
+                got, (np.arange(256) + i).astype(np.uint8))
+            r.close_block_read()
+        w.set_eod()
+        assert r.open_block_read() is None
+        assert r.at_eod()
+
+
+def test_partial_final_block(key):
+    rb.create(key, bufsz=256, nbufs=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        view = w.open_block_write()
+        view[:100] = 7
+        w.close_block_write(100)
+        w.set_eod()
+        got = r.open_block_read()
+        assert got.shape == (100,)
+        r.close_block_read()
+        assert r.open_block_read() is None
+
+
+def test_single_writer_lock(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as a, rb.RingBuffer(key) as b:
+        a.lock_write()
+        with pytest.raises(rb.RingBufferError):
+            b.lock_write()
+        a.unlock_write()
+        b.lock_write()  # now free
+
+
+def test_writer_blocks_when_full(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as w:
+        w.lock_write()
+        for _ in range(2):
+            w.open_block_write()
+            w.close_block_write()
+        with pytest.raises(TimeoutError):
+            w.open_block_write(timeout_us=10_000)
+
+
+def test_unlock_write_implies_eod(key):
+    """A writer exiting without EOD must still terminate readers
+    (reference always EODs on exit paths, sync.c:184,196)."""
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        w.open_block_write()
+        w.close_block_write()
+        w.unlock_write()
+        assert r.open_block_read() is not None
+        r.close_block_read()
+        assert r.open_block_read() is None
+
+
+def _writer_proc(key, nblocks):
+    ring = rb.RingBuffer(key)
+    ring.lock_write()
+    ring.write_header(DadaHeader(TEST="1"))
+    for i in range(nblocks):
+        view = ring.open_block_write()
+        view[:] = i % 251
+        ring.close_block_write()
+    ring.set_eod()
+    ring.unlock_write()
+    ring.disconnect()
+
+
+def test_cross_process_stream(key):
+    """Writer in a separate OS process, reader here (the real topology)."""
+    rb.create(key, bufsz=4096, nbufs=3)
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_writer_proc, args=(key, 7))
+    p.start()
+    try:
+        with rb.RingBuffer(key) as r:
+            r.lock_read()
+            assert r.read_header()["TEST"] == "1"
+            seen = 0
+            while True:
+                view = r.open_block_read()
+                if view is None:
+                    break
+                assert view[0] == seen % 251
+                r.close_block_read()
+                seen += 1
+            assert seen == 7
+            r.unlock_read()
+    finally:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+
+def test_observability_counters(key):
+    rb.create(key, bufsz=64, nbufs=4)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        for _ in range(3):
+            w.open_block_write()
+            w.close_block_write()
+        assert w.blocks_written == 3
+        assert w.blocks_full == 3
+        r.open_block_read()
+        r.close_block_read()
+        assert r.blocks_read == 1
+        assert r.blocks_full == 2
