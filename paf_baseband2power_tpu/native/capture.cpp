@@ -1,0 +1,477 @@
+/* Implementation of the pafb2p UDP capture engine (see capture.h). */
+
+#include "capture.h"
+#include "ringbuf.h"
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <pthread.h>
+#include <sched.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cerrno>
+#include <cmath>
+#include <cstring>
+#include <mutex>
+#include <set>
+#include <shared_mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr size_t kFrameBytes = 7232;
+constexpr size_t kHdrBytes = 64;
+constexpr size_t kPayloadBytes = 7168;
+constexpr uint64_t kNdfPrd = 250000; /* frames per 27 s period per chunk */
+constexpr uint64_t kPrdSec = 27;
+constexpr int kMaxPorts = 16;
+
+struct FrameHdr {
+  uint64_t idf;
+  uint64_t sec;
+  uint32_t epoch;
+  uint32_t beam;
+  double freq;
+  bool valid;
+};
+
+/* Big-endian 64-bit header words (layout contract: hdr.c:10-28). */
+FrameHdr decode_hdr(const uint8_t *buf) {
+  uint64_t w0, w1, w2;
+  memcpy(&w0, buf, 8);
+  memcpy(&w1, buf + 8, 8);
+  memcpy(&w2, buf + 16, 8);
+  w0 = __builtin_bswap64(w0);
+  w1 = __builtin_bswap64(w1);
+  w2 = __builtin_bswap64(w2);
+  FrameHdr h;
+  h.idf = w0 & 0xffffffffULL;
+  h.sec = (w0 >> 32) & 0x3fffffffULL;
+  h.valid = (w0 >> 63) & 1;
+  h.epoch = (w1 >> 26) & 0x3f;
+  h.freq = static_cast<double>((w2 >> 16) & 0xffff);
+  h.beam = w2 & 0xffff;
+  return h;
+}
+
+/* Global frame index: sec advances in whole 27 s periods at period starts,
+ * so dsec * NDF_PRD / 27 is exact (acquire_idf contract, capture.c:562-568). */
+uint64_t global_idf(const FrameHdr &h) {
+  return (h.sec / kPrdSec) * kNdfPrd + h.idf;
+}
+
+struct PortStats {
+  std::atomic<uint64_t> received{0};
+  std::atomic<uint64_t> dropped{0};
+  std::atomic<uint64_t> last_g{0};
+  std::atomic<uint64_t> nchunks{0};
+};
+
+} // namespace
+
+struct pafb2p_capture {
+  pafb2p_capture_conf conf;
+
+  std::vector<int> socks;          /* bound sockets, index = port offset */
+  std::vector<int> active;         /* indices of active ports */
+  std::vector<std::set<int>> port_chunks; /* per-port chunk sets (probe) */
+  int active_chunks = 0;
+
+  pafb2p_rb *ring = nullptr;
+  uint8_t *cur_block = nullptr;
+
+  /* reference frame (stream start) */
+  uint64_t ref_g = 0;
+  uint64_t ref_sec = 0, ref_idf = 0;
+  uint32_t epoch = 0;
+  double freq_min = 0, freq_max = 0;
+  uint64_t end_g = ~0ULL;
+
+  /* rotation state */
+  std::shared_mutex rot_mu;        /* shared: frame memcpy; exclusive: rotate */
+  std::atomic<uint64_t> block_base{0};
+  std::atomic<bool> force_switch{false};
+  std::atomic<bool> quit{false};
+  std::atomic<bool> stop_req{false};
+  std::vector<std::atomic<bool> *> in_next;   /* per active port */
+  std::vector<std::atomic<bool> *> finished;  /* per active port */
+
+  /* temp buffer for early frames (capture.c:525-534 analogue) */
+  std::vector<uint8_t> tbuf;
+  std::vector<uint8_t> ttag;
+
+  PortStats stats[kMaxPorts];
+  std::atomic<uint64_t> blocks_committed{0};
+  std::atomic<uint64_t> nforce{0};
+
+  std::vector<std::thread> threads;
+  bool started = false;
+
+  ~pafb2p_capture() {
+    for (int s : socks)
+      if (s >= 0)
+        close(s);
+    if (ring) {
+      pafb2p_rb_disconnect(ring);
+    }
+  }
+};
+
+namespace {
+
+void pin_thread(int cpu) {
+  if (cpu < 0)
+    return;
+  cpu_set_t set;
+  CPU_ZERO(&set);
+  CPU_SET(cpu, &set);
+  pthread_setaffinity_np(pthread_self(), sizeof(set), &set);
+}
+
+int chunk_of(const pafb2p_capture *h, double freq) {
+  double f = (freq - h->conf.freq_base) / h->conf.chunk_bw;
+  int i = static_cast<int>(lround(f));
+  if (i < 0 || i >= static_cast<int>(h->conf.nchk))
+    return -1;
+  return i;
+}
+
+/* Rotate to the next ring block. Caller holds rot_mu exclusively. */
+int rotate_block(pafb2p_capture *h) {
+  if (pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring)) != 0)
+    return -EIO;
+  h->blocks_committed.fetch_add(1);
+  uint8_t *nb = pafb2p_rb_open_block_write(h->ring, 3600ULL * 1000000);
+  if (!nb)
+    return -ETIMEDOUT;
+  h->cur_block = nb;
+  if (h->conf.zero_blocks)
+    memset(nb, 0, pafb2p_rb_bufsz(h->ring));
+  uint64_t ndf = h->conf.ndf_blk;
+  h->block_base.fetch_add(ndf);
+  /* replay temp-buffer frames into the fresh block (sync.c:141-170) */
+  uint32_t nchk = h->conf.nchk;
+  for (uint64_t t = 0; t < h->conf.tbuf_ndf; ++t) {
+    for (uint32_t c = 0; c < nchk; ++c) {
+      uint64_t slot = t * nchk + c;
+      if (h->ttag[slot]) {
+        memcpy(nb + slot * kPayloadBytes,
+               h->tbuf.data() + slot * kPayloadBytes, kPayloadBytes);
+        h->ttag[slot] = 0;
+      }
+    }
+  }
+  for (auto *f : h->in_next)
+    f->store(false, std::memory_order_relaxed);
+  h->force_switch.store(false, std::memory_order_relaxed);
+  return 0;
+}
+
+void capture_thread(pafb2p_capture *h, int slot) {
+  pin_thread(h->conf.cpu_base < 0 ? -1 : h->conf.cpu_base + slot);
+  int sock = h->socks[h->active[slot]];
+  PortStats &st = h->stats[h->active[slot]];
+  uint8_t buf[kFrameBytes];
+  uint64_t ndf = h->conf.ndf_blk;
+  uint64_t tbuf_ndf = h->conf.tbuf_ndf;
+  uint32_t nchk = h->conf.nchk;
+
+  while (!h->quit.load(std::memory_order_relaxed) &&
+         !h->stop_req.load(std::memory_order_relaxed)) {
+    ssize_t n = recv(sock, buf, sizeof(buf), 0);
+    if (n < 0) {
+      if (errno == EAGAIN || errno == EWOULDBLOCK)
+        break; /* stream went silent for a full period: finish (capture.c:438-456) */
+      if (errno == EINTR)
+        continue;
+      break;
+    }
+    if (static_cast<size_t>(n) != kFrameBytes) {
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
+    FrameHdr fh = decode_hdr(buf);
+    int ifreq = chunk_of(h, fh.freq);
+    if (ifreq < 0) {
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
+    uint64_t g = global_idf(fh);
+    st.last_g.store(g, std::memory_order_relaxed);
+    if (g >= h->end_g) {
+      h->finished[slot]->store(true);
+      return;
+    }
+
+    std::shared_lock<std::shared_mutex> lk(h->rot_mu);
+    uint64_t base = h->block_base.load(std::memory_order_relaxed);
+    int64_t rel = static_cast<int64_t>(g) - static_cast<int64_t>(base);
+    if (rel < 0) {
+      /* frame belongs to an already-closed block: drop (capture.c:464-466) */
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+    } else if (rel < static_cast<int64_t>(ndf)) {
+      memcpy(h->cur_block +
+                 (static_cast<uint64_t>(rel) * nchk + ifreq) * kPayloadBytes,
+             buf + kHdrBytes, kPayloadBytes);
+      st.received.fetch_add(1, std::memory_order_relaxed);
+    } else if (rel < static_cast<int64_t>(ndf + tbuf_ndf)) {
+      uint64_t slot_idx = (static_cast<uint64_t>(rel) - ndf) * nchk + ifreq;
+      memcpy(h->tbuf.data() + slot_idx * kPayloadBytes, buf + kHdrBytes,
+             kPayloadBytes);
+      h->ttag[slot_idx] = 1;
+      h->in_next[slot]->store(true, std::memory_order_relaxed);
+      st.received.fetch_add(1, std::memory_order_relaxed);
+    } else if (rel < static_cast<int64_t>(2 * ndf)) {
+      /* too far ahead for the temp buffer: force a switch, frame lost
+       * (graceful data loss, capture.c:510-524) */
+      h->in_next[slot]->store(true, std::memory_order_relaxed);
+      h->force_switch.store(true, std::memory_order_relaxed);
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+    } else {
+      /* a full extra block behind: unrecoverable (capture.c:491-509) */
+      h->quit.store(true, std::memory_order_relaxed);
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+      break;
+    }
+  }
+  h->finished[slot]->store(true);
+}
+
+void sync_thread(pafb2p_capture *h) {
+  pin_thread(h->conf.cpu_base < 0 ? -1
+                                  : h->conf.cpu_base +
+                                        static_cast<int>(h->active.size()));
+  size_t nports = h->active.size();
+  for (;;) {
+    bool all_fin = true, all_next = true, any_next = false;
+    for (size_t i = 0; i < nports; ++i) {
+      bool fin = h->finished[i]->load(std::memory_order_relaxed);
+      bool nxt = h->in_next[i]->load(std::memory_order_relaxed);
+      all_fin &= fin;
+      all_next &= (fin || nxt);
+      any_next |= nxt;
+    }
+    bool force = h->force_switch.load(std::memory_order_relaxed);
+    if (h->quit.load(std::memory_order_relaxed) ||
+        h->stop_req.load(std::memory_order_relaxed) || all_fin)
+      break;
+    if ((all_next && any_next) || force) {
+      std::unique_lock<std::shared_mutex> lk(h->rot_mu);
+      if (force)
+        h->nforce.fetch_add(1);
+      if (rotate_block(h) != 0) {
+        h->quit.store(true);
+        break;
+      }
+    } else {
+      usleep(200);
+    }
+  }
+  /* final block + EOD on every exit path (sync.c:177-204) */
+  std::unique_lock<std::shared_mutex> lk(h->rot_mu);
+  pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring));
+  h->blocks_committed.fetch_add(1);
+  h->cur_block = nullptr;
+  pafb2p_rb_set_eod(h->ring);
+}
+
+} // namespace
+
+extern "C" {
+
+pafb2p_capture *pafb2p_capture_create(const pafb2p_capture_conf *conf) {
+  if (!conf || conf->nports <= 0 || conf->nports > kMaxPorts ||
+      conf->ndf_blk == 0 || conf->nchk == 0 ||
+      conf->tbuf_ndf > conf->ndf_blk)
+    return nullptr;
+  auto *h = new pafb2p_capture();
+  h->conf = *conf;
+  if (h->conf.chunk_bw == 0)
+    h->conf.chunk_bw = 7.0;
+  h->socks.assign(conf->nports, -1);
+  h->port_chunks.assign(conf->nports, {});
+  return h;
+}
+
+void pafb2p_capture_destroy(pafb2p_capture *h) { delete h; }
+
+int pafb2p_capture_probe(pafb2p_capture *h) {
+  /* bind sockets (init_sockets contract: capture.c:146-176) */
+  for (int i = 0; i < h->conf.nports; ++i) {
+    int s = socket(AF_INET, SOCK_DGRAM, 0);
+    if (s < 0)
+      return -errno;
+    struct timeval tv;
+    tv.tv_sec = static_cast<long>(h->conf.timeout_sec);
+    tv.tv_usec = static_cast<long>(
+        (h->conf.timeout_sec - static_cast<double>(tv.tv_sec)) * 1e6);
+    setsockopt(s, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    int rcvbuf = 64 * 1024 * 1024;
+    setsockopt(s, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+    struct sockaddr_in sa;
+    memset(&sa, 0, sizeof(sa));
+    sa.sin_family = AF_INET;
+    sa.sin_port = htons(static_cast<uint16_t>(h->conf.port_base + i));
+    sa.sin_addr.s_addr = inet_addr(h->conf.ip);
+    if (bind(s, reinterpret_cast<struct sockaddr *>(&sa), sizeof(sa)) != 0) {
+      int e = errno;
+      close(s);
+      return -e;
+    }
+    h->socks[i] = s;
+  }
+
+  /* probe: discover active ports + chunk sets (check_connection,
+   * capture.c:57-144) */
+  h->active.clear();
+  double fmin = 1e18, fmax = -1e18;
+  uint64_t max_g = 0;
+  uint32_t epoch = 0;
+  uint8_t buf[kFrameBytes];
+  for (int i = 0; i < h->conf.nports; ++i) {
+    uint64_t seen = 0;
+    std::set<int> chunks;
+    while (seen < h->conf.ndf_check) {
+      ssize_t n = recv(h->socks[i], buf, sizeof(buf), 0);
+      if (n < 0)
+        break;
+      if (static_cast<size_t>(n) != kFrameBytes)
+        continue;
+      FrameHdr fh = decode_hdr(buf);
+      int c = chunk_of(h, fh.freq);
+      if (c < 0)
+        continue;
+      chunks.insert(c);
+      if (fh.freq < fmin)
+        fmin = fh.freq;
+      if (fh.freq > fmax)
+        fmax = fh.freq;
+      uint64_t g = global_idf(fh);
+      if (g > max_g)
+        max_g = g;
+      epoch = fh.epoch;
+      ++seen;
+      /* stop early once the chunk set is stable for a while */
+      if (seen >= 64 && chunks.size() > 0 &&
+          seen >= 16 * chunks.size())
+        break;
+    }
+    if (seen > 0) {
+      h->active.push_back(i);
+      h->port_chunks[i] = chunks;
+      h->stats[i].nchunks.store(chunks.size());
+    }
+  }
+  if (h->active.empty())
+    return -ENOTCONN;
+  int total_chunks = 0;
+  for (int p : h->active)
+    total_chunks += static_cast<int>(h->port_chunks[p].size());
+  h->active_chunks = total_chunks;
+  h->epoch = epoch;
+  h->freq_min = fmin;
+  h->freq_max = fmax;
+  /* align past the newest probed frame (align_df, capture.c:333-403) */
+  h->ref_g = max_g + 1;
+  h->ref_sec = (h->ref_g / kNdfPrd) * kPrdSec;
+  h->ref_idf = h->ref_g % kNdfPrd;
+  return static_cast<int>(h->active.size());
+}
+
+int pafb2p_capture_start(pafb2p_capture *h) {
+  if (h->active.empty() || h->started)
+    return -EINVAL;
+  h->ring = pafb2p_rb_connect(h->conf.ring_key);
+  if (!h->ring)
+    return -ENOENT;
+  uint64_t want = h->conf.ndf_blk * h->conf.nchk * kPayloadBytes;
+  if (pafb2p_rb_bufsz(h->ring) != want)
+    return -EINVAL; /* size check at attach (capture.c:600-612) */
+  if (pafb2p_rb_lock_write(h->ring) != 0)
+    return -EBUSY;
+  h->cur_block = pafb2p_rb_open_block_write(h->ring, 60ULL * 1000000);
+  if (!h->cur_block)
+    return -ETIMEDOUT;
+  if (h->conf.zero_blocks)
+    memset(h->cur_block, 0, want);
+
+  h->block_base.store(h->ref_g);
+  if (h->conf.length_sec > 0) {
+    double frames = h->conf.length_sec / 1.08e-4;
+    h->end_g = h->ref_g + static_cast<uint64_t>(frames);
+  }
+  h->tbuf.assign(static_cast<size_t>(h->conf.tbuf_ndf) * h->conf.nchk *
+                     kPayloadBytes,
+                 0);
+  h->ttag.assign(static_cast<size_t>(h->conf.tbuf_ndf) * h->conf.nchk, 0);
+  for (size_t i = 0; i < h->active.size(); ++i) {
+    h->in_next.push_back(new std::atomic<bool>(false));
+    h->finished.push_back(new std::atomic<bool>(false));
+  }
+  for (size_t i = 0; i < h->active.size(); ++i)
+    h->threads.emplace_back(capture_thread, h, static_cast<int>(i));
+  h->threads.emplace_back(sync_thread, h);
+  h->started = true;
+  return 0;
+}
+
+int pafb2p_capture_wait(pafb2p_capture *h) {
+  if (!h->started)
+    return -EINVAL;
+  for (auto &t : h->threads)
+    if (t.joinable())
+      t.join();
+  h->threads.clear();
+  pafb2p_rb_unlock_write(h->ring);
+  for (auto *p : h->in_next)
+    delete p;
+  for (auto *p : h->finished)
+    delete p;
+  h->in_next.clear();
+  h->finished.clear();
+  h->started = false;
+  return h->quit.load() ? 1 : 0;
+}
+
+void pafb2p_capture_stop(pafb2p_capture *h) { h->stop_req.store(true); }
+
+uint64_t pafb2p_capture_ref_sec(const pafb2p_capture *h) { return h->ref_sec; }
+uint64_t pafb2p_capture_ref_idf(const pafb2p_capture *h) { return h->ref_idf; }
+uint32_t pafb2p_capture_epoch(const pafb2p_capture *h) { return h->epoch; }
+double pafb2p_capture_freq_center(const pafb2p_capture *h) {
+  return (h->freq_min + h->freq_max) / 2.0;
+}
+int pafb2p_capture_active_ports(const pafb2p_capture *h) {
+  return static_cast<int>(h->active.size());
+}
+int pafb2p_capture_active_chunks(const pafb2p_capture *h) {
+  return h->active_chunks;
+}
+
+uint64_t pafb2p_capture_frames_received(const pafb2p_capture *h, int port) {
+  return port < kMaxPorts ? h->stats[port].received.load() : 0;
+}
+uint64_t pafb2p_capture_frames_dropped(const pafb2p_capture *h, int port) {
+  return port < kMaxPorts ? h->stats[port].dropped.load() : 0;
+}
+uint64_t pafb2p_capture_frames_expected(const pafb2p_capture *h, int port) {
+  if (port >= kMaxPorts)
+    return 0;
+  const PortStats &st = h->stats[port];
+  uint64_t last = st.last_g.load();
+  if (last < h->ref_g)
+    return 0;
+  return (last - h->ref_g + 1) * st.nchunks.load();
+}
+uint64_t pafb2p_capture_blocks_committed(const pafb2p_capture *h) {
+  return h->blocks_committed.load();
+}
+uint64_t pafb2p_capture_force_switches(const pafb2p_capture *h) {
+  return h->nforce.load();
+}
+
+} /* extern "C" */
