@@ -50,6 +50,12 @@ def main(argv=None) -> int:
                     help="average instead of sum over the window")
     ap.add_argument("--depth", type=int, default=2,
                     help="blocks in flight (ring NBLK analogue)")
+    ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
+                    help="channelize with an NFFT-point polyphase "
+                    "filterbank before detection")
+    ap.add_argument("--ntap", type=int, default=4, help="PFB taps")
+    ap.add_argument("--window", default="hamming",
+                    choices=["hamming", "hanning", "rect"])
     ap.add_argument("--stats-json", action="store_true",
                     help="print run statistics as JSON")
     args = ap.parse_args(argv)
@@ -87,13 +93,18 @@ def main(argv=None) -> int:
         in_header = source.header
 
     # --- sink -------------------------------------------------------------
+    nchan_out = args.nchk * C.NCHAN_CHK * (args.pfb or 1)
     hdr = output_header(
         utc_start=(in_header or {}).get("UTC_START", "unset"),
         picoseconds=(in_header or {}).get("PICOSECONDS", "unset"),
         freq=(in_header or {}).get("FREQ", "unset"),
         bw=(in_header or {}).get("BW", "unset"),
-        nchan=args.nchk * C.NCHAN_CHK,
+        nchan=nchan_out,
     )
+    if args.pfb:
+        hdr["PFB_NFFT"] = str(args.pfb)
+        hdr["PFB_NTAP"] = str(args.ntap)
+        hdr["PFB_WINDOW"] = args.window
     if looks_like_ring_key(args.output):
         from ..io.ringbuffer import RingSink
 
@@ -101,7 +112,9 @@ def main(argv=None) -> int:
     else:
         sink = FileSink(args.output, header=hdr)
 
-    pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir)
+    pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir,
+                         pfb_nfft=args.pfb, pfb_ntap=args.ntap,
+                         pfb_window=args.window)
     stats = pipe.run(source, sink)
     if args.stats_json:
         print(json.dumps({

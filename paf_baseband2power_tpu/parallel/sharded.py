@@ -60,3 +60,62 @@ def make_sharded_power_step(mesh, mean: bool = False):
 def shard_block(block, mesh):
     """Place a host block onto the mesh with the canonical sharding."""
     return jax.device_put(block, block_sharding(mesh))
+
+
+def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
+                          window: str = "hamming", mean: bool = False,
+                          shift: bool = True):
+    """Build the jitted multi-device PFB spectrometer step.
+
+    Each time shard channelizes its local sub-block. The FIR needs
+    ``(ntap-1)*nfft`` samples of look-ahead at the shard boundary, so every
+    shard sends its leading halo to the *previous* shard over ICI
+    (``ppermute``) — the overlap-save boundary state the reference's
+    blocked design avoids and a cuFFT channelizer would have forced on it.
+    The last shard has no successor: its final ``ntap-1`` windows are
+    masked out, matching the golden model's one-shot window count. Partial
+    spectra are then ``psum``-ed over the time axis.
+
+    Output: ``(nchk * 7 * nfft,)`` float32, sharded over ``chunk``.
+    """
+    from ..ops.pfb import _block_to_series, channelize, pfb_coeffs
+
+    n_time = mesh.shape[TIME_AXIS]
+    halo_len = (ntap - 1) * nfft
+    coeffs_np = pfb_coeffs(nfft, ntap, window)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(CHUNK_AXIS),
+    )
+    def step(block):
+        v = _block_to_series(block)                     # (ck,7,pol,ns_local)
+        tid = jax.lax.axis_index(TIME_AXIS)
+        if n_time > 1:
+            halo = v[..., :halo_len]
+            # send my leading samples to the previous time shard
+            halo_prev = jax.lax.ppermute(
+                halo, TIME_AXIS,
+                perm=[(i, i - 1) for i in range(1, n_time)])
+            v = jnp.concatenate([v, halo_prev], axis=-1)
+        y = channelize(v, jnp.asarray(coeffs_np))       # (...,nwin,nfft)
+        p = y.real * y.real + y.imag * y.imag
+        nwin = p.shape[-2]
+        if n_time > 1:
+            # last shard received a zero halo: drop its tail windows
+            win = jax.lax.broadcasted_iota(jnp.int32, (nwin, 1), 0)
+            valid = (tid < n_time - 1) | (win < nwin - (ntap - 1))
+            p = p * valid.astype(p.dtype)
+        power = p.sum(axis=(2, 3))
+        power = jax.lax.psum(power, TIME_AXIS)
+        if mean:
+            total_win = jax.lax.psum(nwin, TIME_AXIS) - (
+                0 if n_time == 1 else (ntap - 1))
+            power = power / (p.shape[2] * total_win)
+        if shift:
+            power = jnp.fft.fftshift(power, axes=-1)
+        return power.reshape(-1)
+
+    return jax.jit(step)

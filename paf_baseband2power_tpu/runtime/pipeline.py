@@ -124,13 +124,24 @@ class MemorySink:
 
 
 class PowerPipeline:
-    """Run source -> device power step -> sink with bounded overlap."""
+    """Run source -> device power step -> sink with bounded overlap.
+
+    With ``pfb_nfft`` set, the compute step is the streaming PFB
+    spectrometer: the overlap-save history rides along as a device-resident
+    carry between blocks (the boundary state a cuFFT channelizer would have
+    forced on the reference's blocked design).
+    """
 
     def __init__(self, power_fn: Callable | None = None, mean: bool = False,
                  depth: int = 2, name: str = "baseband2power",
-                 log_dir: str | None = None):
+                 log_dir: str | None = None, pfb_nfft: int = 0,
+                 pfb_ntap: int = 4, pfb_window: str = "hamming"):
+        self._stateful = bool(pfb_nfft)
         if power_fn is None:
-            power_fn = self._default_power_fn(mean)
+            if pfb_nfft:
+                power_fn = self._pfb_fn(mean, pfb_nfft, pfb_ntap, pfb_window)
+            else:
+                power_fn = self._default_power_fn(mean)
         self._power_fn = power_fn
         self._depth = max(1, depth)
         self.log = open_log(name, log_dir)
@@ -146,12 +157,30 @@ class PowerPipeline:
             return functools.partial(baseband2power_pallas, mean=mean)
         return functools.partial(baseband2power_2d, mean=mean)
 
+    @staticmethod
+    def _pfb_fn(mean: bool, nfft: int, ntap: int, window: str):
+        from ..constants import DT_SIZE
+        from ..ops.pfb import make_streaming_pfb
+
+        step = make_streaming_pfb(nfft, ntap, window=window, mean=mean)
+
+        def fn(x2d, carry):
+            ndf, lanes = x2d.shape
+            nchk = lanes // (DT_SIZE // 2)
+            block = x2d.reshape(
+                ndf, nchk, C.NSAMP_DF, C.NCHAN_CHK, C.NPOL_SAMP, C.NDIM_POL)
+            return step(block, carry)
+
+        return fn
+
     def run(self, source: Iterable[np.ndarray], sink) -> PipelineStats:
         stats = PipelineStats()
         inflight: collections.deque = collections.deque()
         t_start = time.perf_counter()
         t_block = t_start
-        self.log.info("pipeline start: depth=%d", self._depth)
+        carry = None
+        self.log.info("pipeline start: depth=%d stateful=%s", self._depth,
+                      self._stateful)
 
         def drain_one():
             nonlocal t_block
@@ -165,7 +194,11 @@ class PowerPipeline:
 
         for block in source:
             x = jax.device_put(block)
-            inflight.append(self._power_fn(x))
+            if self._stateful:
+                out, carry = self._power_fn(x, carry)
+            else:
+                out = self._power_fn(x)
+            inflight.append(out)
             stats.nbytes_in += block.nbytes
             while len(inflight) > self._depth:
                 drain_one()

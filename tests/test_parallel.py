@@ -66,3 +66,47 @@ def test_output_sharding_layout(block):
     assert out.shape == (C.NCHAN,)
     # output is sharded over the chunk axis only
     assert out.sharding.spec == jax.sharding.PartitionSpec(M.CHUNK_AXIS)
+
+
+# ---------------------------------------------------------------------------
+# Sharded PFB (halo exchange over the time axis)
+# ---------------------------------------------------------------------------
+
+from paf_baseband2power_tpu.ops import pfb as _pfb
+
+NFFT, NTAP = 32, 4
+
+
+@pytest.fixture(scope="module")
+def pfb_block():
+    return F.synthetic_block(rng=41, ndf=64, nchk=8)
+
+
+def _run_pfb(mesh, block, **kw):
+    step = S.make_sharded_pfb_step(mesh, NFFT, NTAP, **kw)
+    return np.asarray(step(S.shard_block(jnp.asarray(block), mesh)))
+
+
+def test_sharded_pfb_single_time_parity(pfb_block):
+    got = _run_pfb(M.make_mesh(n_time=1, n_chunk=8), pfb_block)
+    want = _pfb.pfb_power_golden(pfb_block, NFFT, NTAP)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_sharded_pfb_time_halo_parity(pfb_block):
+    """Time-sharded PFB with ppermute halo matches the one-shot golden."""
+    got = _run_pfb(M.make_mesh(n_time=8), pfb_block)
+    want = _pfb.pfb_power_golden(pfb_block, NFFT, NTAP)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_sharded_pfb_2d_parity(pfb_block):
+    got = _run_pfb(M.make_mesh(n_time=4, n_chunk=2), pfb_block)
+    want = _pfb.pfb_power_golden(pfb_block, NFFT, NTAP)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_sharded_pfb_mean(pfb_block):
+    got = _run_pfb(M.make_mesh(n_time=2, n_chunk=4), pfb_block, mean=True)
+    want = _pfb.pfb_power_golden(pfb_block, NFFT, NTAP, mean=True)
+    np.testing.assert_allclose(got, want, rtol=2e-4)

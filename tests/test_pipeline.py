@@ -99,3 +99,32 @@ def test_ring_key_detection():
     assert cli_b2p.looks_like_ring_key("adad")
     assert not cli_b2p.looks_like_ring_key("file.dada")
     assert not cli_b2p.looks_like_ring_key("synthetic:2")
+
+
+def test_pfb_pipeline_streaming_parity(tmp_path):
+    """--pfb CLI: streaming PFB with history carry across blocks matches
+    the golden model applied to the concatenated stream."""
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+
+    nfft, ntap = 32, 4
+    bb = str(tmp_path / "bb.dada")
+    pw = str(tmp_path / "pw.dada")
+    cli_gen.main(["-o", bb, "-n", "2", "--ndf", str(NDF),
+                  "--nchk", str(NCHK), "--seed", "30"])
+    assert cli_b2p.main([
+        "-a", bb, "-b", pw, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--pfb", str(nfft), "--ntap", str(ntap),
+    ]) == 0
+
+    with DadaFileReader(pw) as r:
+        assert r.header.get_int("NCHAN") == NCHK * 7 * nfft
+        assert r.header.get_int("PFB_NFFT") == nfft
+        recs = [np.frombuffer(b, "<f4")
+                for b in r.blocks(NCHK * 7 * nfft * 4)]
+    assert len(recs) == 2
+
+    b1 = F.synthetic_block(rng=30, ndf=NDF, nchk=NCHK)
+    b2 = F.synthetic_block(rng=31, ndf=NDF, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    want_total = _pfb.pfb_power_golden(both, nfft, ntap)
+    np.testing.assert_allclose(recs[0] + recs[1], want_total, rtol=2e-4)
