@@ -131,12 +131,24 @@ def channelize(x: jax.Array, coeffs: jax.Array) -> jax.Array:
     return jnp.fft.fft(z, axis=-1)
 
 
+def _pfb_detect(v: jax.Array, coeffs: jax.Array, mean: bool) -> jax.Array:
+    """Channelize + detect a complex series -> (nchk, nchan_chk, nfft)."""
+    y = channelize(v, coeffs)
+    p = y.real * y.real + y.imag * y.imag
+    power = p.sum(axis=(2, 3))
+    if mean:
+        power = power / (p.shape[2] * p.shape[3])
+    return power
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("nfft", "ntap", "window", "mean", "shift"))
+                   static_argnames=("nfft", "ntap", "window", "mean", "shift",
+                                    "chunk_groups"))
 def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
               window: str = "hamming", mean: bool = False,
               shift: bool = True,
-              history: jax.Array | None = None) -> jax.Array:
+              history: jax.Array | None = None,
+              chunk_groups: int = 1) -> jax.Array:
     """PFB spectrometer: 6-D int16 block -> (nchan * nfft,) float32 power.
 
     ``history``: optional ``(nchk, nchan_chk, npol, (ntap-1)*nfft)``
@@ -144,16 +156,53 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     history, all ``nsamp/nfft`` windows of this block are produced; without
     it the first ``ntap-1`` windows are simply absent (matching the golden
     model's one-shot behavior).
+
+    ``chunk_groups``: channelize the chunk axis in this many sequential
+    groups (``lax.map`` over contiguous slices of the transposed series).
+    The full-geometry block needs ~13 GB of complex temporaries if
+    channelized at once; 8-16 groups keeps the working set inside HBM. The
+    unpack/transpose itself runs once over the whole block (it is the
+    cheap, bandwidth-bound part).
+
+    Jitted with its own call boundary on purpose: the boundary makes XLA
+    materialize the transposed series once before the group loop — fully
+    inlined, the unpack/transpose gets re-fused into (and recomputed by)
+    every ``lax.map`` iteration, ~3x wall clock on full blocks. Callers may
+    wrap ONE more jit around a composition including this (measured
+    harmless); deeper nesting re-introduces relayout copies at each extra
+    boundary.
     """
-    v = _block_to_series(block)
-    if history is not None:
-        v = jnp.concatenate([history, v], axis=-1)
+    nchk = block.shape[1]
+    npol = block.shape[4]
+    halo = (ntap - 1) * nfft
     coeffs = jnp.asarray(pfb_coeffs(nfft, ntap, window))
-    y = channelize(v, coeffs)
-    p = y.real * y.real + y.imag * y.imag
-    power = p.sum(axis=(2, 3))
+    v = _block_to_series(block)
+    nwin_main = v.shape[-1] // nfft - (ntap - 1)
+
+    if chunk_groups <= 1 or nchk % chunk_groups:
+        power = _pfb_detect(v, coeffs, mean=False)
+    else:
+        g = nchk // chunk_groups
+
+        def one(i):
+            sub = jax.lax.dynamic_slice_in_dim(v, i * g, g, axis=0)
+            return _pfb_detect(sub, coeffs, mean=False)
+
+        power = jax.lax.map(one, jnp.arange(chunk_groups))
+        power = power.reshape(nchk, NCHAN_CHK, nfft)
+
+    nwin_total = nwin_main
+    if history is not None:
+        # Boundary windows: the ntap-1 windows straddling the block edge use
+        # history + the block's leading samples. Computing them separately
+        # (tiny) keeps the main pass on nfft-aligned windows — a full-series
+        # concat costs ~3x wall clock and doubles peak HBM.
+        boundary = jnp.concatenate([history, v[..., :halo]], axis=-1)
+        power = power + _pfb_detect(boundary, coeffs, mean=False)
+        nwin_total += ntap - 1
+
     if mean:
-        power = power / (p.shape[2] * p.shape[3])
+        power = power / (npol * nwin_total)
     if shift:
         power = jnp.fft.fftshift(power, axes=-1)
     return power.reshape(-1)
@@ -166,13 +215,25 @@ def pfb_history(block: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
     return v[..., -(ntap - 1) * nfft:]
 
 
-def make_streaming_pfb(nfft: int, ntap: int = 4, **kw):
+def make_streaming_pfb(nfft: int, ntap: int = 4, chunk_groups: int = 1, **kw):
     """Return ``step(block, history) -> (power, new_history)`` for
-    stateful streaming across blocks."""
+    stateful streaming across blocks.
+
+    ``block`` may be the canonical 6-D array or the production 2-D device
+    layout ``(ndf, nchk*3584) int16`` — the reshape happens inside the one
+    jitted program, where XLA folds it into the unpack/transpose instead of
+    materializing a relayout copy at a call boundary.
+    """
 
     @jax.jit
     def step(block, history):
-        power = pfb_power(block, nfft, ntap, history=history, **kw)
+        if block.ndim == 2:
+            ndf, lanes = block.shape
+            block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
+                                                 NPOL_SAMP * 2),
+                                  NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+        power = pfb_power(block, nfft, ntap, history=history,
+                          chunk_groups=chunk_groups, **kw)
         return power, pfb_history(block, nfft, ntap)
 
     return step

@@ -57,13 +57,18 @@ def bytes_to_block_device(raw: jax.Array, ndf: int = NDF_BLK,
     return jax.lax.bitcast_convert_type(pairs, jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnames=("mean",))
 def baseband2power(block: jax.Array, mean: bool = False) -> jax.Array:
     """Detect + integrate one block: -> float32 power per channel.
 
     Output shape ``(nchk * NCHAN_CHK,)`` (336 for full geometry), channel
     index = chunk * 7 + chan, matching the golden model and the reference's
     output header (NCHAN 336, NPOL 1, NDIM 1).
+
+    Deliberately NOT jitted: this is a composable building block (used
+    inside shard_map bodies and fused pipelines). A nested-jit call
+    boundary forces the 6-D operand into its canonical tiled layout — a
+    full-block relayout copy that triples wall clock. Callers jit the
+    outermost composition.
     """
     ndf, nchk, nsamp, nchan_chk, npol, ndim = block.shape
     x = block.astype(jnp.float32)

@@ -159,19 +159,13 @@ class PowerPipeline:
 
     @staticmethod
     def _pfb_fn(mean: bool, nfft: int, ntap: int, window: str):
-        from ..constants import DT_SIZE
         from ..ops.pfb import make_streaming_pfb
 
-        step = make_streaming_pfb(nfft, ntap, window=window, mean=mean)
-
-        def fn(x2d, carry):
-            ndf, lanes = x2d.shape
-            nchk = lanes // (DT_SIZE // 2)
-            block = x2d.reshape(
-                ndf, nchk, C.NSAMP_DF, C.NCHAN_CHK, C.NPOL_SAMP, C.NDIM_POL)
-            return step(block, carry)
-
-        return fn
+        # chunk_groups=8 bounds peak HBM on full-geometry blocks; the step
+        # accepts the 2-D device layout directly (reshape stays inside the
+        # single jitted program — no relayout at a call boundary).
+        return make_streaming_pfb(nfft, ntap, window=window, mean=mean,
+                                  chunk_groups=8)
 
     def run(self, source: Iterable[np.ndarray], sink) -> PipelineStats:
         stats = PipelineStats()

@@ -101,3 +101,19 @@ def test_single_tap_is_weighted_segment_fft():
     segs = series.reshape(1, C.NCHAN_CHK, 2, -1, NFFT) * h
     want = (np.abs(np.fft.fft(segs, axis=-1)) ** 2).sum(axis=(2, 3))
     np.testing.assert_allclose(got, want.reshape(-1), rtol=2e-4)
+
+
+def test_chunk_grouped_matches_monolithic():
+    """lax.map chunk grouping is numerically identical to one-shot."""
+    block = F.synthetic_block(rng=25, ndf=NDF, nchk=8)
+    mono = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP))
+    grouped = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                       chunk_groups=4))
+    np.testing.assert_allclose(grouped, mono, rtol=1e-6)
+    # with history too
+    h = pfb.pfb_history(jnp.asarray(block), NFFT, NTAP)
+    mono_h = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                      history=h))
+    grp_h = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                     history=h, chunk_groups=2))
+    np.testing.assert_allclose(grp_h, mono_h, rtol=1e-6)

@@ -77,7 +77,8 @@ def test_power_full_block_precision():
 def test_power_jit_cache():
     """Repeated calls with the same shape must not retrace."""
     block = jnp.asarray(F.synthetic_block(rng=1, ndf=8, nchk=2))
-    P.baseband2power(block)
-    n0 = P.baseband2power._cache_size()
-    P.baseband2power(block + 1)
-    assert P.baseband2power._cache_size() == n0
+    x2d = block.reshape(8, -1)
+    P.baseband2power_2d(x2d)
+    n0 = P.baseband2power_2d._cache_size()
+    P.baseband2power_2d(x2d + 1)
+    assert P.baseband2power_2d._cache_size() == n0
