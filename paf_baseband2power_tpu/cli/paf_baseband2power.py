@@ -58,6 +58,12 @@ def main(argv=None) -> int:
                     choices=["hamming", "hanning", "rect"])
     ap.add_argument("--stats-json", action="store_true",
                     help="print run statistics as JSON")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace to DIR "
+                    "(the nvprof-wrapper analogue, run.py:13-16)")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-block output validation + verbose logging "
+                    "(the -DDEBUG rebuild analogue)")
     args = ap.parse_args(argv)
 
     import jax
@@ -112,10 +118,15 @@ def main(argv=None) -> int:
     else:
         sink = FileSink(args.output, header=hdr)
 
+    from ..runtime.debug import profile_trace, set_debug
+
+    if args.debug:
+        set_debug(True)
     pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir,
                          pfb_nfft=args.pfb, pfb_ntap=args.ntap,
                          pfb_window=args.window)
-    stats = pipe.run(source, sink)
+    with profile_trace(args.profile):
+        stats = pipe.run(source, sink)
     if args.stats_json:
         print(json.dumps({
             "nblocks": stats.nblocks,

@@ -23,6 +23,9 @@ def main(argv=None) -> int:
                     help="header template file overriding the file's header")
     ap.add_argument("-e", "--sod", type=int, default=1,
                     help="start-of-data flag (0 skips the stream header)")
+    ap.add_argument("--skip-blocks", type=int, default=0,
+                    help="resume: skip this many ring blocks of payload "
+                    "and advance OBS_OFFSET accordingly")
     args = ap.parse_args(argv)
 
     from ..io.dada import DadaFileReader, DadaHeader
@@ -37,9 +40,13 @@ def main(argv=None) -> int:
         if args.header:
             with open(args.header, "rb") as f:
                 header = DadaHeader.parse(f.read())
+        bufsz = ring.bufsz
+        if args.skip_blocks:
+            reader.skip(args.skip_blocks * bufsz)
+            header = DadaHeader(header)
+            header["OBS_OFFSET"] = str(args.skip_blocks * bufsz)
         if args.sod:
             ring.write_header(header)
-        bufsz = ring.bufsz
         n = 0
         for raw in reader.blocks(bufsz):
             view = ring.open_block_write()

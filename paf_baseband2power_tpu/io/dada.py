@@ -192,6 +192,10 @@ class DadaFileReader:
         self.header = DadaHeader.parse(raw)
         self.payload_bytes = os.path.getsize(path) - DADA_HDR_SIZE
 
+    def skip(self, nbytes: int) -> None:
+        """Skip payload bytes (resume support: OBS_OFFSET semantics)."""
+        self._f.seek(nbytes, 1)
+
     def blocks(self, block_nbytes: int,
                allow_partial: bool = False) -> Iterator[bytes]:
         while True:

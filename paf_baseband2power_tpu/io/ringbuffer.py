@@ -27,7 +27,10 @@ from .. import constants as C
 from .dada import DadaHeader
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libpafb2p.so")
+# PAFB2P_NATIVE_LIB selects an alternate build (e.g. libpafb2p.tsan.so from
+# `make tsan` — the host-side analogue of the reference's cuda-memcheck hook)
+_LIB_PATH = os.environ.get(
+    "PAFB2P_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libpafb2p.so"))
 _build_lock = threading.Lock()
 _lib = None
 

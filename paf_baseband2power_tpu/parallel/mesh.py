@@ -23,6 +23,7 @@ from jax.sharding import Mesh
 
 TIME_AXIS = "time"
 CHUNK_AXIS = "chunk"
+BEAM_AXIS = "beam"
 
 
 def make_mesh(n_time: int | None = None, n_chunk: int | None = None,
@@ -44,3 +45,20 @@ def make_mesh(n_time: int | None = None, n_chunk: int | None = None,
     if n_time * n_chunk != n:
         raise ValueError(f"mesh {n_time}x{n_chunk} != {n} devices")
     return Mesh(devices.reshape(n_time, n_chunk), (TIME_AXIS, CHUNK_AXIS))
+
+
+def make_beam_mesh(n_beam: int, n_time: int = 1, n_chunk: int = 1,
+                   devices=None) -> Mesh:
+    """Build a ``(beam, time, chunk)`` mesh.
+
+    Beams are the pure data-parallel axis — the SPMD analogue of the
+    reference's one-pipeline-per-beam deployment (beam id in the frame
+    header, ``hdr.c:25``; share-nothing across nodes). No collectives ever
+    cross the beam axis.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_beam * n_time * n_chunk != devices.size:
+        raise ValueError(
+            f"mesh {n_beam}x{n_time}x{n_chunk} != {devices.size} devices")
+    return Mesh(devices.reshape(n_beam, n_time, n_chunk),
+                (BEAM_AXIS, TIME_AXIS, CHUNK_AXIS))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.power import baseband2power
-from .mesh import CHUNK_AXIS, TIME_AXIS
+from .mesh import BEAM_AXIS, CHUNK_AXIS, TIME_AXIS
 
 
 def block_sharding(mesh) -> NamedSharding:
@@ -60,6 +60,32 @@ def make_sharded_power_step(mesh, mean: bool = False):
 def shard_block(block, mesh):
     """Place a host block onto the mesh with the canonical sharding."""
     return jax.device_put(block, block_sharding(mesh))
+
+
+def make_multibeam_power_step(mesh, mean: bool = False):
+    """Multi-beam power step on a ``(beam, time, chunk)`` mesh.
+
+    Input: int16 blocks of shape ``(nbeam, ndf, nchk, nsamp, nchan, npol,
+    ndim)`` sharded ``P(beam, time, chunk)``. Beams are embarrassingly
+    parallel (DP); partial integrations psum over ``time`` only. Output:
+    ``(nbeam, nchan)`` float32 sharded ``P(beam, chunk)``.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(BEAM_AXIS, CHUNK_AXIS),
+    )
+    def step(blocks):
+        local = jax.vmap(lambda b: baseband2power(b, mean=False))(blocks)
+        total = jax.lax.psum(local, TIME_AXIS)
+        if mean:
+            ndf = blocks.shape[1] * jax.lax.psum(1, TIME_AXIS)
+            total = total / (ndf * blocks.shape[3] * blocks.shape[5])
+        return total
+
+    return jax.jit(step)
 
 
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,

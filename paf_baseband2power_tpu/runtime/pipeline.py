@@ -33,6 +33,7 @@ import jax
 from .. import constants as C
 from ..io.dada import DadaFileReader, DadaFileWriter, DadaHeader, output_header
 from ..ops.pallas_power import LANES_PER_CHUNK
+from . import debug
 from .log import open_log
 
 
@@ -179,7 +180,12 @@ class PowerPipeline:
         def drain_one():
             nonlocal t_block
             out = inflight.popleft()
-            sink.write(np.asarray(out))
+            host_out = np.asarray(out)
+            if debug.debug_enabled():
+                debug.check_power(host_out, stats.nblocks)
+                self.log.info("block %d ok: sum=%.6g max=%.6g",
+                              stats.nblocks, host_out.sum(), host_out.max())
+            sink.write(host_out)
             now = time.perf_counter()
             stats.block_seconds.append(now - t_block)
             t_block = now

@@ -110,3 +110,34 @@ def test_sharded_pfb_mean(pfb_block):
     got = _run_pfb(M.make_mesh(n_time=2, n_chunk=4), pfb_block, mean=True)
     want = _pfb.pfb_power_golden(pfb_block, NFFT, NTAP, mean=True)
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Multi-beam (data-parallel) meshes
+# ---------------------------------------------------------------------------
+
+def test_multibeam_power_parity():
+    """(beam, time, chunk) mesh: per-beam spectra match per-beam golden."""
+    nbeam = 2
+    blocks = np.stack([
+        F.synthetic_block(rng=60 + b, ndf=16, nchk=8) for b in range(nbeam)
+    ])
+    mesh = M.make_beam_mesh(n_beam=2, n_time=2, n_chunk=2)
+    step = S.make_multibeam_power_step(mesh)
+    sharded = jax.device_put(
+        jnp.asarray(blocks),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(
+                M.BEAM_AXIS, M.TIME_AXIS, M.CHUNK_AXIS)))
+    out = np.asarray(step(sharded))
+    assert out.shape == (nbeam, 8 * C.NCHAN_CHK)
+    for b in range(nbeam):
+        want = baseband2power_golden(blocks[b])
+        np.testing.assert_allclose(out[b], want, rtol=1e-5)
+
+
+def test_beam_mesh_validation():
+    with pytest.raises(ValueError):
+        M.make_beam_mesh(n_beam=3, n_time=2, n_chunk=2)
+    m = M.make_beam_mesh(n_beam=8)
+    assert m.shape == {"beam": 8, "time": 1, "chunk": 1}

@@ -97,3 +97,23 @@ def test_ring_size_mismatch_rejected(tmp_path, keys):
     from paf_baseband2power_tpu.io.ringbuffer import RingSource
     with pytest.raises(rb.RingBufferError):
         RingSource(key, ndf=NDF, nchk=NCHK)
+
+
+def test_diskdb_skip_blocks_resume(tmp_path, keys):
+    """--skip-blocks: replay resumes mid-file with OBS_OFFSET set."""
+    key, _ = keys
+    bb = str(tmp_path / "bb.dada")
+    run_cli("paf_gen", "-o", bb, "-n", "3", "--ndf", str(NDF),
+            "--nchk", str(NCHK), "--seed", "50")
+    rb.create(key, NDF * NCHK * C.DT_SIZE, 4)
+    r = run_cli("paf_diskdb", "-a", key, "-c", bb, "--skip-blocks", "2")
+    assert r.returncode == 0, r.stderr
+    assert "replayed 1 blocks" in r.stdout
+    with rb.RingBuffer(key) as ring:
+        ring.lock_read()
+        hdr = ring.read_header()
+        assert hdr.get_int("OBS_OFFSET") == 2 * NDF * NCHK * C.DT_SIZE
+        view = ring.open_block_read()
+        want = F.synthetic_block(rng=52, ndf=NDF, nchk=NCHK)
+        np.testing.assert_array_equal(view.view("<i2"), want.reshape(-1))
+        ring.close_block_read()
