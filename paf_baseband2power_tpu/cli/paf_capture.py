@@ -48,6 +48,8 @@ def main(argv=None) -> int:
                     help="pin capture threads starting at this CPU")
     ap.add_argument("--create-ring", type=int, metavar="NBLK", default=0,
                     help="create the ring with NBLK blocks first")
+    ap.add_argument("--beam", type=int, default=-1,
+                    help="accept only this beam id (-1 = any)")
     ap.add_argument("--no-zero", action="store_true",
                     help="skip zero-filling blocks (reference behavior)")
     args = ap.parse_args(argv)
@@ -80,6 +82,7 @@ def main(argv=None) -> int:
         tbuf_ndf=args.tbuf_ndf, timeout_sec=args.timeout,
         ndf_check=args.ndf_check, length_sec=args.length,
         cpu_base=args.cpu_base, zero_blocks=not args.no_zero,
+        beam=args.beam,
     )
     with CaptureEngine(conf) as eng:
         nports = eng.probe()

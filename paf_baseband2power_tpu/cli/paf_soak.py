@@ -1,0 +1,158 @@
+"""CLI: end-to-end real-time soak test.
+
+Streams synthetic BMF frames at the true frame cadence (one frame-time per
+TDF = 108 us per chunk set) through the full live topology — UDP capture ->
+ring -> TPU compute -> ring -> disk/memory sink — for a configured
+duration, then reports whether the pipeline held real time: packet loss,
+blocks committed vs expected, and compute margin.
+
+This is the test the reference could only run against the live telescope;
+geometry is scalable so the soak runs meaningfully on any host (full
+geometry at 3.19 GB/s needs a real NIC path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import uuid
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="paf_soak")
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--ndf", type=int, default=64, help="frames per block")
+    ap.add_argument("--nchk", type=int, default=8)
+    ap.add_argument("--nports", type=int, default=2)
+    ap.add_argument("--port-base", type=int, default=29100)
+    ap.add_argument("--rate", type=float, default=0.1,
+                    help="stream rate as a multiple of real time. The "
+                    "Python software sender sustains ~0.25x on loopback; "
+                    "rates the host cannot hold correctly FAIL the soak "
+                    "(capture quits when a port falls a block behind, the "
+                    "reference's own policy)")
+    ap.add_argument("--max-loss", type=float, default=0.05,
+                    help="fail threshold for packet loss")
+    ap.add_argument("-k", "--dir", default=None, help="log directory")
+    args = ap.parse_args(argv)
+
+    from .. import constants as C
+    from ..io import ringbuffer as rb
+    from ..io.capture import CaptureConf, CaptureEngine
+    from ..io.sender import stream_frames
+    from ..runtime.log import open_log
+    from ..runtime.pipeline import MemorySink, PowerPipeline
+    from ..io.ringbuffer import RingSource
+
+    log = open_log("paf_soak", args.dir)
+    key = "sk" + uuid.uuid4().hex[:6]
+    rb.create(key, args.ndf * args.nchk * C.DT_SIZE, 4)
+
+    frame_time = float(C.TDF) / args.rate      # per frame-time across chunks
+    total_frames = int(args.seconds / frame_time)
+    kw = dict(host="127.0.0.1", port_base=args.port_base,
+              nports=args.nports, nchk=args.nchk, freq_base=1000.0,
+              chunk_bw=7.0, epoch=51, sec0=27)
+
+    conf = CaptureConf(
+        ip="127.0.0.1", port_base=args.port_base, nports=args.nports,
+        ring_key=key, ndf_blk=args.ndf, nchk=args.nchk, freq_base=1000.0,
+        chunk_bw=7.0, tbuf_ndf=min(args.ndf, 32), timeout_sec=2.0,
+        ndf_check=args.nchk * 2, zero_blocks=True,
+    )
+    eng = CaptureEngine(conf)
+
+    probe_done = threading.Event()
+
+    def probe_feed():
+        while not probe_done.is_set():
+            stream_frames(**kw, idf0=0, nframes=args.nchk * 2,
+                          pace_sec=0.0005)
+
+    tx0 = threading.Thread(target=probe_feed)
+    tx0.start()
+    try:
+        eng.probe()
+    finally:
+        probe_done.set()
+        tx0.join()
+    eng.start()
+    idf0 = eng.ref_idf
+
+    # register the stream header so ring readers can attach
+    from ..io.dada import baseband_header
+    from ..ops.time_utils import start_time
+
+    utc, ps = start_time(eng.epoch, eng.ref_sec, eng.ref_idf)
+    with rb.RingBuffer(key) as ring:
+        ring.write_header(baseband_header(
+            utc_start=utc, picoseconds=ps, freq=eng.freq_center,
+            nchan=args.nchk * C.NCHAN_CHK))
+
+    # paced sender: bursts of `burst` frame-times, sleeping to the schedule
+    def paced_sender():
+        burst = 8
+        t0 = time.perf_counter()
+        sent_ft = 0
+        while sent_ft < total_frames:
+            n = min(burst, total_frames - sent_ft)
+            stream_frames(**kw, idf0=idf0 + sent_ft, nframes=n)
+            sent_ft += n
+            target = t0 + sent_ft * frame_time
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+
+    tx = threading.Thread(target=paced_sender)
+
+    # compute stage on the ring, in this process
+    sink = MemorySink()
+    pipe = PowerPipeline(depth=2, log_dir=args.dir, name="paf_soak_compute")
+    result = {}
+
+    def compute():
+        src = RingSource(key, ndf=args.ndf, nchk=args.nchk)
+        result["stats"] = pipe.run(src, sink)
+
+    cx = threading.Thread(target=compute)
+    cx.start()
+    t_start = time.perf_counter()
+    tx.start()
+    tx.join()
+    stream_elapsed = time.perf_counter() - t_start
+    eng.wait()
+    cx.join()
+    stats = result["stats"]
+
+    port_stats = eng.port_stats()
+    total_recv = sum(s.received for s in port_stats)
+    total_exp = sum(s.expected for s in port_stats)
+    loss = max(0.0, 1 - total_recv / total_exp) if total_exp else 1.0
+    expected_blocks = total_frames // args.ndf
+    report = {
+        "seconds": args.seconds,
+        "rate_x_realtime": args.rate,
+        "frames_streamed": total_frames * args.nchk,
+        "stream_elapsed": stream_elapsed,
+        "loss": loss,
+        "blocks_captured": int(eng.blocks_committed),
+        "blocks_computed": stats.nblocks,
+        "expected_blocks": expected_blocks,
+        "force_switches": int(eng.force_switches),
+        "compute_realtime_x": stats.realtime_fraction,
+        "pass": bool(loss <= args.max_loss
+                     and stats.nblocks >= expected_blocks - 1),
+    }
+    eng.close()
+    if rb.exists(key):
+        rb.destroy(key)
+    log.info("soak: %s", report)
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

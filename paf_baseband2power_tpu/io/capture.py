@@ -32,6 +32,7 @@ class _ConfStruct(ctypes.Structure):
         ("length_sec", ctypes.c_double),
         ("cpu_base", ctypes.c_int),
         ("zero_blocks", ctypes.c_int),
+        ("beam", ctypes.c_int),
     ]
 
 
@@ -83,6 +84,7 @@ class CaptureConf:
     length_sec: float = 0.0
     cpu_base: int = -1
     zero_blocks: bool = True
+    beam: int = -1   # accept only this beam id; -1 = any
 
     def to_struct(self) -> _ConfStruct:
         s = _ConfStruct()
@@ -100,6 +102,7 @@ class CaptureConf:
         s.length_sec = self.length_sec
         s.cpu_base = self.cpu_base
         s.zero_blocks = int(self.zero_blocks)
+        s.beam = self.beam
         return s
 
 

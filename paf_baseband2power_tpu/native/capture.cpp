@@ -195,6 +195,11 @@ void capture_thread(pafb2p_capture *h, int slot) {
       continue;
     }
     FrameHdr fh = decode_hdr(buf);
+    if (h->conf.beam >= 0 &&
+        fh.beam != static_cast<uint32_t>(h->conf.beam)) {
+      st.dropped.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
     int ifreq = chunk_of(h, fh.freq);
     if (ifreq < 0) {
       st.dropped.fetch_add(1, std::memory_order_relaxed);
@@ -342,6 +347,9 @@ int pafb2p_capture_probe(pafb2p_capture *h) {
       if (static_cast<size_t>(n) != kFrameBytes)
         continue;
       FrameHdr fh = decode_hdr(buf);
+      if (h->conf.beam >= 0 &&
+          fh.beam != static_cast<uint32_t>(h->conf.beam))
+        continue;
       int c = chunk_of(h, fh.freq);
       if (c < 0)
         continue;

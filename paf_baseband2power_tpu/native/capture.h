@@ -52,6 +52,9 @@ typedef struct pafb2p_capture_conf {
   double length_sec;     /* stop after this much stream time; 0 = unbounded */
   int cpu_base;          /* pin thread i to cpu_base+i; -1 = no pinning */
   int zero_blocks;       /* memset blocks on open (reference doesn't) */
+  int beam;              /* accept only this beam id; -1 = any (one beam
+                            per stream, like the reference's per-beam
+                            deployment; hdr.c:25 carries the id) */
 } pafb2p_capture_conf;
 
 pafb2p_capture *pafb2p_capture_create(const pafb2p_capture_conf *conf);

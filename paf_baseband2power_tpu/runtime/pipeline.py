@@ -42,6 +42,7 @@ class PipelineStats:
     nblocks: int = 0
     nbytes_in: int = 0
     nbytes_out: int = 0
+    ndf: int = 0                     # frames per block (from the stream)
     elapsed: float = 0.0
     block_seconds: list = dataclasses.field(default_factory=list)
 
@@ -54,10 +55,12 @@ class PipelineStats:
 
     @property
     def realtime_fraction(self) -> float:
-        """How many real-time streams this run sustained (>=1 is real time)."""
-        if not self.elapsed:
+        """How many real-time streams this run sustained (>=1 is real
+        time). Uses the actual frames-per-block of the stream, so reduced
+        test geometries report honestly."""
+        if not self.elapsed or not self.ndf:
             return 0.0
-        stream_sec = self.nblocks * float(C.TINT)
+        stream_sec = self.nblocks * self.ndf * C.TDF_SEC
         return stream_sec / self.elapsed
 
 
@@ -193,6 +196,8 @@ class PowerPipeline:
             stats.nblocks += 1
 
         for block in source:
+            if not stats.ndf:
+                stats.ndf = block.shape[0]
             x = jax.device_put(block)
             if self._stateful:
                 out, carry = self._power_fn(x, carry)

@@ -209,3 +209,45 @@ def test_capture_start_metadata(ring_key):
     assert eng.ref_sec == 27
     assert eng.freq_center == pytest.approx(FREQ0 + 7.0 * (NCHK - 1) / 2)
     eng.close()
+
+
+def test_capture_beam_filter(ring_key):
+    """beam filter: frames from other beams are rejected as invalid."""
+    port_base = _free_ports()
+    conf = CaptureConf(
+        ip="127.0.0.1", port_base=port_base, nports=NPORTS,
+        ring_key=ring_key, ndf_blk=NDF, nchk=NCHK, freq_base=FREQ0,
+        chunk_bw=7.0, tbuf_ndf=16, timeout_sec=1.5, ndf_check=NCHK * 2,
+        beam=3, zero_blocks=True,
+    )
+    eng = CaptureEngine(conf)
+    kw = dict(host="127.0.0.1", port_base=port_base, nports=NPORTS,
+              nchk=NCHK, freq_base=FREQ0, chunk_bw=7.0, epoch=51, sec0=27)
+
+    probe_done = threading.Event()
+
+    def probe_feed():
+        while not probe_done.is_set():
+            stream_frames(**dict(kw, idf0=0, nframes=NCHK * 2, beam=3,
+                                 pace_sec=0.0005))
+
+    tx0 = threading.Thread(target=probe_feed)
+    tx0.start()
+    try:
+        eng.probe()
+    finally:
+        probe_done.set()
+        tx0.join()
+    eng.start()
+    idf0 = eng.ref_idf
+    # interleave the wanted beam with another beam
+    stream_frames(**dict(kw, idf0=idf0, nframes=NDF, beam=3,
+                         pace_sec=0.0005))
+    stream_frames(**dict(kw, idf0=idf0, nframes=NDF, beam=5,
+                         pace_sec=0.0005))
+    rc = eng.wait()
+    assert rc == 0
+    stats = eng.port_stats()
+    # all beam-5 frames rejected: dropped >= one full stream's worth
+    assert sum(s.dropped for s in stats) >= NDF * NCHK
+    eng.close()
