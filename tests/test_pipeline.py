@@ -128,3 +128,25 @@ def test_pfb_pipeline_streaming_parity(tmp_path):
     both = np.concatenate([b1, b2], axis=0)
     want_total = _pfb.pfb_power_golden(both, nfft, ntap)
     np.testing.assert_allclose(recs[0] + recs[1], want_total, rtol=2e-4)
+
+
+def test_monitor_cli(tmp_path, capsys):
+    from paf_baseband2power_tpu.io import ringbuffer as rb
+    from paf_baseband2power_tpu.cli import paf_monitor
+    import uuid
+    key = uuid.uuid4().hex[:8]
+    rb.create(key, 1024, 4)
+    try:
+        assert paf_monitor.main([key]) == 0
+        out = capsys.readouterr().out
+        assert "0/4 blocks full" in out
+        with rb.RingBuffer(key) as ring:
+            ring.lock_write()
+            ring.open_block_write()
+            ring.close_block_write()
+            ring.unlock_write()
+        assert paf_monitor.main([key, "--json"]) == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["written"] == 1 and rec["full"] == 1
+    finally:
+        rb.destroy(key)
