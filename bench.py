@@ -62,17 +62,31 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--quick", action="store_true",
                     help="reduced block for smoke testing")
+    ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
+                    help="benchmark the PFB channelizer path instead")
     args = ap.parse_args()
 
     ndf = 256 if args.quick else C.NDF_BLK
-    step, impl = get_step(args.impl)
+    if args.pfb:
+        from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
+
+        pfb_step = make_streaming_pfb(args.pfb, 4, chunk_groups=8)
+        label = f"pfb nfft={args.pfb}"
+        history = {}
+
+        def step(b):
+            out, history["h"] = pfb_step(b, history.get("h"))
+            return out
+    else:
+        step, impl = get_step(args.impl)
+        label = impl
     block = make_block_2d(ndf)
     samples_per_block = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
 
     # Warmup / compile; np.asarray forces completion (block_until_ready is
     # unreliable under the axon tunnel).
     np.asarray(step(block))
-    iters = max(3, args.iters // 4) if args.quick else args.iters
+    iters = max(3, args.iters // 4) if args.quick or args.pfb else args.iters
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
@@ -82,7 +96,7 @@ def main():
 
     value = samples_per_block / dt
     print(json.dumps({
-        "metric": f"baseband samples/s/chip (unpack+detect+integrate, {impl})",
+        "metric": f"baseband samples/s/chip (unpack+detect+integrate, {label})",
         "value": value,
         "unit": "samples/s",
         "vs_baseline": value / BASELINE_SAMPLES_PER_SEC,

@@ -195,22 +195,24 @@ class PowerPipeline:
             stats.nbytes_out += out.size * 4
             stats.nblocks += 1
 
-        for block in source:
-            if not stats.ndf:
-                stats.ndf = block.shape[0]
-            x = jax.device_put(block)
-            if self._stateful:
-                out, carry = self._power_fn(x, carry)
-            else:
-                out = self._power_fn(x)
-            inflight.append(out)
-            stats.nbytes_in += block.nbytes
-            while len(inflight) > self._depth:
+        try:
+            for block in source:
+                if not stats.ndf:
+                    stats.ndf = block.shape[0]
+                x = jax.device_put(block)
+                if self._stateful:
+                    out, carry = self._power_fn(x, carry)
+                else:
+                    out = self._power_fn(x)
+                inflight.append(out)
+                stats.nbytes_in += block.nbytes
+                while len(inflight) > self._depth:
+                    drain_one()
+            while inflight:
                 drain_one()
-        while inflight:
-            drain_one()
-        stats.elapsed = time.perf_counter() - t_start
-        sink.close()
+            stats.elapsed = time.perf_counter() - t_start
+        finally:
+            sink.close()
         self.log.info(
             "pipeline done: %d blocks, %.3f s, %.3g samp/s, %.2fx real time",
             stats.nblocks, stats.elapsed, stats.samples_per_sec,

@@ -141,3 +141,31 @@ def test_beam_mesh_validation():
         M.make_beam_mesh(n_beam=3, n_time=2, n_chunk=2)
     m = M.make_beam_mesh(n_beam=8)
     assert m.shape == {"beam": 8, "time": 1, "chunk": 1}
+
+
+def test_run_multibeam_runtime():
+    """Streaming multibeam runtime: per-beam sinks receive per-beam spectra."""
+    from paf_baseband2power_tpu.runtime import pipeline as RP
+    from paf_baseband2power_tpu.runtime.multibeam import run_multibeam
+
+    mesh = M.make_beam_mesh(n_beam=2, n_time=2, n_chunk=2)
+    sources = [RP.SyntheticSource(3, ndf=16, nchk=8, seed=100 * b)
+               for b in range(2)]
+    sinks = [RP.MemorySink(), RP.MemorySink()]
+    stats = run_multibeam(sources, mesh, sinks)
+    assert stats.nblocks == 3
+    for b in range(2):
+        assert len(sinks[b].records) == 3
+        for i, rec in enumerate(sinks[b].records):
+            want = baseband2power_golden(
+                F.synthetic_block(rng=100 * b + i, ndf=16, nchk=8))
+            np.testing.assert_allclose(rec, want, rtol=1e-5)
+
+
+def test_run_multibeam_validation():
+    from paf_baseband2power_tpu.runtime import pipeline as RP
+    from paf_baseband2power_tpu.runtime.multibeam import run_multibeam
+
+    mesh = M.make_beam_mesh(n_beam=2, n_time=4)
+    with pytest.raises(ValueError):
+        run_multibeam([RP.SyntheticSource(1, 16, 8)], mesh, [RP.MemorySink()])
