@@ -84,7 +84,9 @@ def main():
     samples_per_block = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
 
     # Warmup / compile; np.asarray forces completion (block_until_ready is
-    # unreliable under the axon tunnel).
+    # unreliable under the axon tunnel). Two calls: the PFB path compiles
+    # distinct no-history and with-history programs.
+    np.asarray(step(block))
     np.asarray(step(block))
     iters = max(3, args.iters // 4) if args.quick or args.pfb else args.iters
     t0 = time.perf_counter()

@@ -143,12 +143,13 @@ def _pfb_detect(v: jax.Array, coeffs: jax.Array, mean: bool) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("nfft", "ntap", "window", "mean", "shift",
-                                    "chunk_groups"))
+                                    "chunk_groups", "return_history"))
 def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
               window: str = "hamming", mean: bool = False,
               shift: bool = True,
               history: jax.Array | None = None,
-              chunk_groups: int = 1) -> jax.Array:
+              chunk_groups: int = 1,
+              return_history: bool = False):
     """PFB spectrometer: 6-D int16 block -> (nchan * nfft,) float32 power.
 
     ``history``: optional ``(nchk, nchan_chk, npol, (ntap-1)*nfft)``
@@ -205,7 +206,12 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
         power = power / (npol * nwin_total)
     if shift:
         power = jnp.fft.fftshift(power, axes=-1)
-    return power.reshape(-1)
+    power = power.reshape(-1)
+    if return_history:
+        # next block's overlap-save carry, from the series already built
+        # (a separate pfb_history call would redo the full unpack/transpose)
+        return power, v[..., -halo:]
+    return power
 
 
 def pfb_history(block: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
@@ -232,8 +238,8 @@ def make_streaming_pfb(nfft: int, ntap: int = 4, chunk_groups: int = 1, **kw):
             block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
                                                  NPOL_SAMP * 2),
                                   NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
-        power = pfb_power(block, nfft, ntap, history=history,
-                          chunk_groups=chunk_groups, **kw)
-        return power, pfb_history(block, nfft, ntap)
+        return pfb_power(block, nfft, ntap, history=history,
+                         chunk_groups=chunk_groups, return_history=True,
+                         **kw)
 
     return step
