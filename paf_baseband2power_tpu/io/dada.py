@@ -15,7 +15,6 @@ sink. No PSRDADA code involved — the format is the contract.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Iterator
 

@@ -32,7 +32,7 @@ import jax
 
 from .. import constants as C
 from ..io.dada import DadaFileReader, DadaFileWriter, DadaHeader, output_header
-from ..ops.pallas_power import LANES_PER_CHUNK
+
 from . import debug
 from .log import open_log
 
