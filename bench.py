@@ -70,7 +70,9 @@ def main():
     if args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 
-        pfb_step = make_streaming_pfb(args.pfb, 4, chunk_groups=8)
+        # no chunk grouping: the sliding-DFT path's working set fits HBM
+        # whole-block, and group slicing costs ~40 ms of copies per block
+        pfb_step = make_streaming_pfb(args.pfb, 4, chunk_groups=1)
         label = f"pfb nfft={args.pfb}"
         history = {}
 

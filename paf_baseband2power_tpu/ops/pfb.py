@@ -106,6 +106,161 @@ def pfb_power_golden(block: np.ndarray, nfft: int, ntap: int = 4,
 # JAX implementation
 # --------------------------------------------------------------------------
 
+def pfb_matmul_weights(nfft: int, ntap: int = 4, window: str = "hamming",
+                       dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
+    """Combined FIR x DFT operator for the MXU channelizer path.
+
+    ``W[t*nfft + n, k] = coeffs[t, n] * exp(-2j*pi*k*n/nfft)``, so that for a
+    stacked window ``z[m, t*nfft+n] = x[(m+t)*nfft + n]`` the channelizer
+    output is the single real-pair matmul ``y[m] = z[m] @ W`` — identical to
+    FIR-fold + FFT, but expressed as an ``(ntap*nfft)``-deep contraction the
+    MXU executes at full rate (a 32..128-point ``jnp.fft`` on TPU runs on
+    the VPU an order of magnitude slower). Returns ``(W_re, W_im)``.
+    """
+    c = pfb_coeffs(nfft, ntap, window, dtype=np.float64)
+    n = np.arange(nfft)
+    ph = np.exp(-2j * np.pi * np.outer(n, n) / nfft)        # (n, k)
+    w = (c[:, :, None] * ph[None, :, :]).reshape(ntap * nfft, nfft)
+    return w.real.astype(dtype), w.imag.astype(dtype)
+
+
+def _stack_windows(xr: jax.Array, ntap: int) -> jax.Array:
+    """(..., nblk, nfft) -> (..., nwin, ntap*nfft) shifted-window stack."""
+    nblk, nfft = xr.shape[-2:]
+    nwin = nblk - (ntap - 1)
+    parts = [jax.lax.slice_in_dim(xr, t, t + nwin, axis=-2)
+             for t in range(ntap)]
+    z = jnp.stack(parts, axis=-2)                           # (.,nwin,ntap,nfft)
+    return z.reshape(z.shape[:-2] + (ntap * nfft,))
+
+
+def channelize_matmul(x: jax.Array, w_re: jax.Array, w_im: jax.Array,
+                      ) -> tuple[jax.Array, jax.Array]:
+    """MXU PFB: x (..., nsamp) complex64 -> (y_re, y_im) (..., nwin, nfft).
+
+    Numerically identical to ``channelize`` (same prototype FIR, same DFT)
+    but maps onto four f32 matmuls instead of FFTs.
+    """
+    ntapnfft, nfft = w_re.shape
+    ntap = ntapnfft // nfft
+    nblk = x.shape[-1] // nfft
+    xr = x.reshape(x.shape[:-1] + (nblk, nfft))
+    z = _stack_windows(xr, ntap)
+    zr, zi = jnp.real(z), jnp.imag(z)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    y_re = mm(zr, w_re) - mm(zi, w_im)
+    y_im = mm(zr, w_im) + mm(zi, w_re)
+    return y_re, y_im
+
+
+# matmul channelizer wins while ntap*nfft stays MXU-sized; beyond this the
+# O(nfft) per-sample matmul work overtakes the FFT's O(log nfft).
+_MATMUL_NFFT_MAX = 256
+
+_SLIDE_LANES = 128  # TPU vector lane width: rows of 128 complex samples
+
+# bf16x3 f32 emulation on v5e. Measured on full-scale int16 inputs vs the
+# float64 golden: HIGH 3e-6 max relative error at 0.6x the wall clock of
+# HIGHEST (bf16x6, 2e-7); DEFAULT (single bf16 pass) is 8e-4 — too lossy
+# for a spectrometer backend.
+_SLIDE_PRECISION = jax.lax.Precision.HIGH
+
+
+def pfb_sliding_mats(nfft: int, ntap: int = 4, window: str = "hamming",
+                     ) -> np.ndarray:
+    """Row-aligned sliding-DFT operator bank: ``(D, 256, 256) float32``.
+
+    The lane-aligned form of the matmul channelizer. The complex series is
+    viewed as rows of ``L=128`` samples (``2L`` interleaved re/im f32 lanes
+    — exactly complex64's memory layout, so the input is a free bitcast).
+    Window ``m = g*q + r`` (``g = L/nfft`` windows start in each row ``q``)
+    spans rows ``q .. q+D-1``, so
+
+        ``y[g*q + r, k] = sum_d (X[q+d] @ M[d])[lane]``,
+
+    with output lanes ``[0,L) = y_re`` at ``r*nfft+k`` and ``[L,2L) = y_im``.
+    ``M[d][2j+e, ...]`` carries the DFT phase times the FIR coefficient for
+    input sample ``j`` of row ``q+d`` (``e``: re/im), or zero when that
+    sample falls outside window ``m``. Everything stays 128-lane aligned:
+    no padding blow-ups, one ``(nrow,256)@(256,256)`` matmul per ``d``
+    (``D = 1 + ceil((ntap-1)*nfft/L)``), shifted row adds, and the whole
+    FIR+DFT rides the MXU. Requires ``128 % nfft == 0``.
+    """
+    L = _SLIDE_LANES
+    if L % nfft:
+        raise ValueError(f"nfft={nfft} must divide {L}")
+    w_re, w_im = pfb_matmul_weights(nfft, ntap, window, dtype=np.float64)
+    w = w_re + 1j * w_im                                  # (ntap*nfft, nfft)
+    g = L // nfft
+    d_count = 1 + -(-((ntap - 1) * nfft) // L)
+    # input rows are [re lanes | im lanes] blocks (NOT interleaved: a
+    # trailing size-2 re/im axis bribes XLA into a T(2,128)-tiled relayout
+    # copy with ~18x padding; two lane-aligned 128-blocks concat for free)
+    mats = np.zeros((d_count, 2 * L, 2 * L), np.float64)
+    for d in range(d_count):
+        for r in range(g):
+            col = np.arange(r * nfft, (r + 1) * nfft)
+            for j in range(L):
+                s = j + d * L - r * nfft                  # sample-in-window
+                if 0 <= s < ntap * nfft:
+                    mats[d, j, col] = w[s].real
+                    mats[d, L + j, col] = -w[s].imag
+                    mats[d, j, L + col] = w[s].imag
+                    mats[d, L + j, L + col] = w[s].real
+    return mats.astype(np.float32)
+
+
+def _block_to_rows(block: jax.Array) -> jax.Array:
+    """6-D int16 block -> f32 sliding rows ``(nchk, 7, npol, ndf, 256)``.
+
+    One BMF frame carries exactly ``L=128`` consecutive time samples per
+    (chunk, chan, pol), so the row form of the sliding DFT is a single
+    transpose of the raw block — no complex64 intermediate (whose re/im
+    extraction costs a padded relayout per touch) and no reshape tricks.
+    Lanes are ``[re(128) | im(128)]`` blocks: one transpose bringing the
+    re/im axis just above the sample axis, then a free reshape. (Slicing
+    re/im apart and transposing each + concat computes the same thing 9x
+    slower — XLA runs it as two strided relayouts plus a copy.)
+    """
+    x = block.astype(jnp.float32)
+    y = x.transpose(1, 3, 4, 0, 5, 2)              # (nchk,7,pol,ndf,dim,128)
+    return y.reshape(y.shape[:-2] + (2 * _SLIDE_LANES,))
+
+
+def _pfb_detect_sliding(xrows: jax.Array, mats: jax.Array, nfft: int,
+                        ntap: int, mean: bool) -> jax.Array:
+    """Sliding-DFT channelize + detect -> (nchk, nchan_chk, nfft).
+
+    ``xrows``: f32 ``(nchk, nchan_chk, npol, nrow, 2L)`` from
+    ``_block_to_rows``. The ``D`` shifted row-matmuls are expressed as one
+    causal 1-D convolution (feature dim 2L -> 2L, kernel width D, zero
+    future-padding), which XLA lowers to MXU matmuls that slide over rows
+    in VMEM instead of materializing every shifted product.
+    """
+    L = _SLIDE_LANES
+    nchk, nchan, npol, nrow, _ = xrows.shape
+    g = L // nfft
+    d_count = mats.shape[0]
+    nwin = nrow * g - (ntap - 1)
+
+    lhs = xrows.reshape(nchk * nchan * npol, nrow, 2 * L)
+    y = jax.lax.conv_general_dilated(
+        lhs, mats,                                        # (D, 2L, 2L) = WIO
+        window_strides=(1,), padding=[(0, d_count - 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_SLIDE_PRECISION)
+    p = y * y
+    p = p[..., :L] + p[..., L:]                           # |y|^2, (.,nrow,L)
+    # zero-padded tail rows produce the ntap-1 windows past the series end
+    win_id = (jax.lax.broadcasted_iota(jnp.int32, (nrow, L), 0) * g
+              + jax.lax.broadcasted_iota(jnp.int32, (nrow, L), 1) // nfft)
+    p = p * (win_id < nwin).astype(p.dtype)
+    power = p.sum(axis=1)                                 # window rows
+    power = power.reshape(nchk, nchan, npol, g, nfft).sum(axis=(2, 3))
+    if mean:
+        power = power / (npol * nwin)
+    return power
+
 def _block_to_series(block: jax.Array) -> jax.Array:
     """6-D int16 block -> complex64 (nchk, nchan_chk, npol, nsamp)."""
     ndf, nchk, nsamp_df, nchan_chk, npol, _ = block.shape
@@ -141,15 +296,28 @@ def _pfb_detect(v: jax.Array, coeffs: jax.Array, mean: bool) -> jax.Array:
     return power
 
 
+def _pfb_detect_matmul(v: jax.Array, w_re: jax.Array, w_im: jax.Array,
+                       mean: bool) -> jax.Array:
+    """MXU channelize + detect -> (nchk, nchan_chk, nfft)."""
+    y_re, y_im = channelize_matmul(v, w_re, w_im)
+    p = y_re * y_re + y_im * y_im
+    power = p.sum(axis=(2, 3))
+    if mean:
+        power = power / (p.shape[2] * p.shape[3])
+    return power
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nfft", "ntap", "window", "mean", "shift",
-                                    "chunk_groups", "return_history"))
+                                    "chunk_groups", "return_history",
+                                    "method"))
 def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
               window: str = "hamming", mean: bool = False,
               shift: bool = True,
               history: jax.Array | None = None,
               chunk_groups: int = 1,
-              return_history: bool = False):
+              return_history: bool = False,
+              method: str = "auto"):
     """PFB spectrometer: 6-D int16 block -> (nchan * nfft,) float32 power.
 
     ``history``: optional ``(nchk, nchan_chk, npol, (ntap-1)*nfft)``
@@ -159,11 +327,18 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     model's one-shot behavior).
 
     ``chunk_groups``: channelize the chunk axis in this many sequential
-    groups (``lax.map`` over contiguous slices of the transposed series).
-    The full-geometry block needs ~13 GB of complex temporaries if
-    channelized at once; 8-16 groups keeps the working set inside HBM. The
-    unpack/transpose itself runs once over the whole block (it is the
-    cheap, bandwidth-bound part).
+    groups (``lax.map`` over contiguous slices). The FFT path needs ~13 GB
+    of complex temporaries if channelized at once — 8-16 groups keeps it
+    inside HBM. The sliding-matmul path fits whole-block; leave groups at 1
+    there (each group costs a ~5.6 GB slice copy, ~40 ms/block).
+
+    ``method``: ``"matmul"`` (FIR+DFT as MXU matmuls — the lane-aligned
+    sliding form of ``pfb_sliding_mats`` when ``128 % nfft == 0``, else the
+    stacked form of ``pfb_matmul_weights``), ``"fft"`` (``jnp.fft``), or
+    ``"auto"`` — matmul while ``nfft`` is MXU-sized (<= 256), fft beyond.
+    Identical PFB either way; on v5e the sliding path streams full-geometry
+    blocks at ~8.7 Gsamp/s vs ~1.9 for fft (small-radix FFTs run on the
+    VPU; the MXU form is HBM-bandwidth-bound).
 
     Jitted with its own call boundary on purpose: the boundary makes XLA
     materialize the transposed series once before the group loop — fully
@@ -176,18 +351,51 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     nchk = block.shape[1]
     npol = block.shape[4]
     halo = (ntap - 1) * nfft
-    coeffs = jnp.asarray(pfb_coeffs(nfft, ntap, window))
-    v = _block_to_series(block)
-    nwin_main = v.shape[-1] // nfft - (ntap - 1)
+    if method == "auto":
+        method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    boundary_detect = None
+    if method == "matmul":
+        w_re, w_im = (jnp.asarray(w)
+                      for w in pfb_matmul_weights(nfft, ntap, window))
+        stacked = functools.partial(_pfb_detect_matmul, w_re=w_re, w_im=w_im)
+        if _SLIDE_LANES % nfft == 0:
+            # lane-aligned main pass; the (tiny, 128-unaligned) boundary
+            # windows go through the generic stacked form
+            mats = jnp.asarray(pfb_sliding_mats(nfft, ntap, window))
+            detect = functools.partial(_pfb_detect_sliding, mats=mats,
+                                       nfft=nfft, ntap=ntap)
+            boundary_detect = stacked
+        else:
+            detect = stacked
+    elif method == "fft":
+        coeffs = jnp.asarray(pfb_coeffs(nfft, ntap, window))
+        detect = functools.partial(_pfb_detect, coeffs=coeffs)
+    else:
+        raise ValueError(f"unknown method '{method}'")
+    sliding = boundary_detect is not None
+    if sliding:
+        # main pass on the row form (one transpose, no complex64); the tiny
+        # boundary/history series are built from a few edge frames only
+        data = _block_to_rows(block)
+        halo_ndf = -(-halo // NSAMP_DF)
+        v_lead = _block_to_series(block[:halo_ndf])[..., :halo]
+        v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
+        nsamp = block.shape[0] * NSAMP_DF
+    else:
+        boundary_detect = detect
+        data = v = _block_to_series(block)
+        v_lead, v_tail = v[..., :halo], v[..., -halo:]
+        nsamp = v.shape[-1]
+    nwin_main = nsamp // nfft - (ntap - 1)
 
     if chunk_groups <= 1 or nchk % chunk_groups:
-        power = _pfb_detect(v, coeffs, mean=False)
+        power = detect(data, mean=False)
     else:
         g = nchk // chunk_groups
 
         def one(i):
-            sub = jax.lax.dynamic_slice_in_dim(v, i * g, g, axis=0)
-            return _pfb_detect(sub, coeffs, mean=False)
+            sub = jax.lax.dynamic_slice_in_dim(data, i * g, g, axis=0)
+            return detect(sub, mean=False)
 
         power = jax.lax.map(one, jnp.arange(chunk_groups))
         power = power.reshape(nchk, NCHAN_CHK, nfft)
@@ -198,8 +406,8 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
         # history + the block's leading samples. Computing them separately
         # (tiny) keeps the main pass on nfft-aligned windows — a full-series
         # concat costs ~3x wall clock and doubles peak HBM.
-        boundary = jnp.concatenate([history, v[..., :halo]], axis=-1)
-        power = power + _pfb_detect(boundary, coeffs, mean=False)
+        boundary = jnp.concatenate([history, v_lead], axis=-1)
+        power = power + boundary_detect(boundary, mean=False)
         nwin_total += ntap - 1
 
     if mean:
@@ -208,9 +416,9 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
         power = jnp.fft.fftshift(power, axes=-1)
     power = power.reshape(-1)
     if return_history:
-        # next block's overlap-save carry, from the series already built
-        # (a separate pfb_history call would redo the full unpack/transpose)
-        return power, v[..., -halo:]
+        # next block's overlap-save carry, from edge frames / the series
+        # already built (a separate pfb_history call would redo the work)
+        return power, v_tail
     return power
 
 

@@ -117,3 +117,67 @@ def test_chunk_grouped_matches_monolithic():
     grp_h = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
                                      history=h, chunk_groups=2))
     np.testing.assert_allclose(grp_h, mono_h, rtol=1e-6)
+
+
+@pytest.mark.parametrize("nfft,ntap", [(16, 4), (32, 4), (32, 8), (64, 3),
+                                       (128, 4), (256, 2)])
+def test_matmul_method_matches_golden(nfft, ntap):
+    """MXU channelizer (sliding when 128%nfft==0, stacked otherwise)."""
+    block = F.synthetic_block(rng=30, ndf=NDF, nchk=NCHK)
+    got = np.asarray(pfb.pfb_power(jnp.asarray(block), nfft, ntap,
+                                   method="matmul"))
+    want = pfb.pfb_power_golden(block, nfft, ntap)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_fft_and_matmul_methods_agree():
+    block = F.synthetic_block(rng=31, ndf=NDF, nchk=NCHK)
+    a = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                 method="fft"))
+    b = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                 method="matmul"))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    with pytest.raises(ValueError):
+        pfb.pfb_power(jnp.asarray(block), NFFT, NTAP, method="bogus")
+
+
+def test_matmul_streaming_history_continuity():
+    """Sliding path: two blocks with history == one double block."""
+    b1 = F.synthetic_block(rng=32, ndf=NDF, nchk=NCHK)
+    b2 = F.synthetic_block(rng=33, ndf=NDF, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    step = pfb.make_streaming_pfb(NFFT, NTAP, method="matmul")
+    p1, h1 = step(jnp.asarray(b1), None)
+    p2, h2 = step(jnp.asarray(b2), h1)
+    total = np.asarray(p1) + np.asarray(p2)
+    want = pfb.pfb_power_golden(both, NFFT, NTAP)
+    np.testing.assert_allclose(total, want, rtol=2e-4)
+    # the sliding path's edge-frame carry == the full-series carry
+    ref = pfb.pfb_history(jnp.asarray(b2), NFFT, NTAP)
+    np.testing.assert_allclose(np.asarray(jnp.real(h2)),
+                               np.asarray(jnp.real(ref)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnp.imag(h2)),
+                               np.asarray(jnp.imag(ref)), rtol=1e-6)
+
+
+def test_sliding_mats_structure():
+    mats = pfb.pfb_sliding_mats(NFFT, NTAP)
+    L = 128
+    d_expect = 1 + -(-((NTAP - 1) * NFFT) // L)
+    assert mats.shape == (d_expect, 2 * L, 2 * L)
+    # real/imag block symmetry: M = [[Wre, Wim], [-Wim, Wre]]
+    np.testing.assert_allclose(mats[:, :L, :L], mats[:, L:, L:], atol=0)
+    np.testing.assert_allclose(mats[:, L:, :L], -mats[:, :L, L:], atol=0)
+    with pytest.raises(ValueError):
+        pfb.pfb_sliding_mats(48, NTAP)  # 128 % 48 != 0
+
+
+def test_matmul_tone_localization():
+    k0, chunk, chan = 5, 1, 3
+    block = make_tone_block(NDF, NCHK, k0=k0, chunk=chunk, chan=chan)
+    power = np.asarray(pfb.pfb_power(jnp.asarray(block), NFFT, NTAP,
+                                     method="matmul"))
+    grid = power.reshape(NCHK, C.NCHAN_CHK, NFFT)
+    hot = grid[chunk, chan]
+    assert int(hot.argmax()) == (k0 + NFFT // 2) % NFFT
+    assert grid.sum() - hot.sum() < 1e-6 * hot.sum()
