@@ -70,9 +70,10 @@ def main():
     if args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 
-        # no chunk grouping: the sliding-DFT path's working set fits HBM
-        # whole-block, and group slicing costs ~40 ms of copies per block
-        pfb_step = make_streaming_pfb(args.pfb, 4, chunk_groups=1)
+        # chunk grouping auto-resolved: whole-block for the sliding-DFT
+        # path (fits HBM; group slicing costs ~40 ms of copies per block),
+        # 16 groups for the fft path (~13 GB of temporaries otherwise)
+        pfb_step = make_streaming_pfb(args.pfb, 4)
         label = f"pfb nfft={args.pfb}"
         history = {}
 

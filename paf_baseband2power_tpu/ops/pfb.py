@@ -157,6 +157,30 @@ def channelize_matmul(x: jax.Array, w_re: jax.Array, w_im: jax.Array,
 # O(nfft) per-sample matmul work overtakes the FFT's O(log nfft).
 _MATMUL_NFFT_MAX = 256
 
+
+def resolve_method(nfft: int, method: str = "auto") -> str:
+    """Resolve ``"auto"`` to the concrete channelizer method for ``nfft``."""
+    if method == "auto":
+        return "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    return method
+
+
+def default_chunk_groups(nfft: int, nchk: int, method: str = "auto") -> int:
+    """Chunk-group count that keeps the channelizer inside HBM.
+
+    The lane-aligned sliding-DFT path (``128 % nfft == 0``) streams rows and
+    fits full-geometry blocks whole — grouping would only add slice copies.
+    The fft and stacked-matmul paths materialize ~13-22 GB of complex /
+    window temporaries on a full block if channelized at once; splitting the
+    48-chunk axis into 16 sequential groups bounds that under ~1.5 GB.
+    """
+    if resolve_method(nfft, method) == "matmul" and _SLIDE_LANES % nfft == 0:
+        return 1
+    for g in (16, 12, 8, 6, 4, 3, 2):
+        if nchk % g == 0:
+            return g
+    return 1
+
 _SLIDE_LANES = 128  # TPU vector lane width: rows of 128 complex samples
 
 # bf16x3 f32 emulation on v5e. Measured on full-scale int16 inputs vs the
@@ -315,7 +339,7 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
               window: str = "hamming", mean: bool = False,
               shift: bool = True,
               history: jax.Array | None = None,
-              chunk_groups: int = 1,
+              chunk_groups: int | None = None,
               return_history: bool = False,
               method: str = "auto"):
     """PFB spectrometer: 6-D int16 block -> (nchan * nfft,) float32 power.
@@ -330,7 +354,8 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     groups (``lax.map`` over contiguous slices). The FFT path needs ~13 GB
     of complex temporaries if channelized at once — 8-16 groups keeps it
     inside HBM. The sliding-matmul path fits whole-block; leave groups at 1
-    there (each group costs a ~5.6 GB slice copy, ~40 ms/block).
+    there (each group costs a ~5.6 GB slice copy, ~40 ms/block). ``None``
+    (default) picks per method via ``default_chunk_groups``.
 
     ``method``: ``"matmul"`` (FIR+DFT as MXU matmuls — the lane-aligned
     sliding form of ``pfb_sliding_mats`` when ``128 % nfft == 0``, else the
@@ -351,8 +376,9 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     nchk = block.shape[1]
     npol = block.shape[4]
     halo = (ntap - 1) * nfft
-    if method == "auto":
-        method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    if chunk_groups is None:
+        chunk_groups = default_chunk_groups(nfft, nchk, method)
+    method = resolve_method(nfft, method)
     boundary_detect = None
     if method == "matmul":
         w_re, w_im = (jnp.asarray(w)
@@ -429,7 +455,8 @@ def pfb_history(block: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
     return v[..., -(ntap - 1) * nfft:]
 
 
-def make_streaming_pfb(nfft: int, ntap: int = 4, chunk_groups: int = 1, **kw):
+def make_streaming_pfb(nfft: int, ntap: int = 4,
+                       chunk_groups: int | None = None, **kw):
     """Return ``step(block, history) -> (power, new_history)`` for
     stateful streaming across blocks.
 

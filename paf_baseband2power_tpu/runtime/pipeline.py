@@ -165,11 +165,11 @@ class PowerPipeline:
     def _pfb_fn(mean: bool, nfft: int, ntap: int, window: str):
         from ..ops.pfb import make_streaming_pfb
 
-        # chunk_groups=8 bounds peak HBM on full-geometry blocks; the step
-        # accepts the 2-D device layout directly (reshape stays inside the
-        # single jitted program — no relayout at a call boundary).
-        return make_streaming_pfb(nfft, ntap, window=window, mean=mean,
-                                  chunk_groups=8)
+        # chunk_groups auto-resolved per method (whole-block sliding-DFT,
+        # grouped fft); the step accepts the 2-D device layout directly
+        # (reshape stays inside the single jitted program — no relayout at
+        # a call boundary).
+        return make_streaming_pfb(nfft, ntap, window=window, mean=mean)
 
     def run(self, source: Iterable[np.ndarray], sink) -> PipelineStats:
         stats = PipelineStats()

@@ -181,3 +181,19 @@ def test_matmul_tone_localization():
     hot = grid[chunk, chan]
     assert int(hot.argmax()) == (k0 + NFFT // 2) % NFFT
     assert grid.sum() - hot.sum() < 1e-6 * hot.sum()
+
+
+def test_default_chunk_groups():
+    # sliding-DFT path (128 % nfft == 0) streams whole-block
+    assert pfb.default_chunk_groups(128, 48) == 1
+    assert pfb.default_chunk_groups(32, 48) == 1
+    # fft / stacked-matmul paths must group the 48-chunk axis or they
+    # OOM a 16 GB chip on full-geometry blocks (regression: bench --pfb 1024)
+    assert pfb.default_chunk_groups(1024, 48) > 1
+    assert pfb.default_chunk_groups(256, 48) > 1
+    # explicit method override is honored
+    assert pfb.default_chunk_groups(128, 48, method="fft") > 1
+    # non-standard chunk counts still get a divisor
+    for nchk in (48, 24, 12, 7, 1):
+        g = pfb.default_chunk_groups(1024, nchk)
+        assert nchk % g == 0
