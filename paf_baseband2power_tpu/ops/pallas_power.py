@@ -11,7 +11,9 @@ Design notes, arrived at by measurement on v5e:
   is load-bearing: feeding a 6-D array (or reshaping on device) makes XLA
   materialize a full 2.8 GB tiled-relayout copy in front of the kernel,
   which caps throughput at ~70 GB/s. With the native 2-D layout the kernel
-  streams at ~600 GB/s (~73% of v5e HBM peak).
+  streams at ~740 GB/s steady-state (~90% of v5e HBM peak; tile-shape
+  sweeps from 0.3-8 MB tiles all land within noise of this — the kernel
+  is HBM-bound, not schedule-bound).
 
 * **Grid**: ``(lane_tiles, time_tiles)`` with time innermost. Each step DMAs
   a contiguous ``(tdf, lanes/nlt)`` int16 tile HBM->VMEM, converts to f32,

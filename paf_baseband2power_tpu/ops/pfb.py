@@ -361,9 +361,9 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     sliding form of ``pfb_sliding_mats`` when ``128 % nfft == 0``, else the
     stacked form of ``pfb_matmul_weights``), ``"fft"`` (``jnp.fft``), or
     ``"auto"`` — matmul while ``nfft`` is MXU-sized (<= 256), fft beyond.
-    Identical PFB either way; on v5e the sliding path streams full-geometry
-    blocks at ~8.7 Gsamp/s vs ~1.9 for fft (small-radix FFTs run on the
-    VPU; the MXU form is HBM-bandwidth-bound).
+    Identical PFB either way; at nfft=128 on v5e the sliding path streams
+    full-geometry blocks at ~6.6 Gsamp/s vs ~2.3 for fft (small-radix FFTs
+    run on the VPU; the MXU form is HBM-bandwidth-bound).
 
     Jitted with its own call boundary on purpose: the boundary makes XLA
     materialize the transposed series once before the group loop — fully
