@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                     "reference's own policy)")
     ap.add_argument("--max-loss", type=float, default=0.05,
                     help="fail threshold for packet loss")
+    ap.add_argument("--fetch-every", type=int, default=8,
+                    help="batch this many power outputs per device fetch "
+                    "(amortizes the fixed fetch round trip; essential on "
+                    "remote-tunnel TPU where each fetch costs ~30 ms)")
     ap.add_argument("-k", "--dir", default=None, help="log directory")
     args = ap.parse_args(argv)
 
@@ -50,6 +54,15 @@ def main(argv=None) -> int:
     log = open_log("paf_soak", args.dir)
     key = "sk" + uuid.uuid4().hex[:6]
     rb.create(key, args.ndf * args.nchk * C.DT_SIZE, 4)
+
+    # compile the compute step BEFORE any real-time machinery starts: a
+    # first-block JIT (tens of seconds on a remote-compile TPU) would stall
+    # the ring reader, fill the ring, and trip capture's fall-behind quit
+    sink = MemorySink()
+    pipe = PowerPipeline(depth=2 * args.fetch_every, log_dir=args.dir,
+                         name="paf_soak_compute",
+                         fetch_every=args.fetch_every)
+    warmup_sec = pipe.warmup(args.ndf, args.nchk)
 
     frame_time = float(C.TDF) / args.rate      # per frame-time across chunks
     total_frames = int(args.seconds / frame_time)
@@ -108,9 +121,7 @@ def main(argv=None) -> int:
 
     tx = threading.Thread(target=paced_sender)
 
-    # compute stage on the ring, in this process
-    sink = MemorySink()
-    pipe = PowerPipeline(depth=2, log_dir=args.dir, name="paf_soak_compute")
+    # compute stage on the ring, in this process (step precompiled above)
     result = {}
 
     def compute():
@@ -142,6 +153,7 @@ def main(argv=None) -> int:
         "blocks_computed": stats.nblocks,
         "expected_blocks": expected_blocks,
         "force_switches": int(eng.force_switches),
+        "warmup_sec": warmup_sec,
         "compute_realtime_x": stats.realtime_fraction,
         "pass": bool(loss <= args.max_loss
                      and stats.nblocks >= expected_blocks - 1),

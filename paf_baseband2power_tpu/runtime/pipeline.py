@@ -139,7 +139,8 @@ class PowerPipeline:
     def __init__(self, power_fn: Callable | None = None, mean: bool = False,
                  depth: int = 2, name: str = "baseband2power",
                  log_dir: str | None = None, pfb_nfft: int = 0,
-                 pfb_ntap: int = 4, pfb_window: str = "hamming"):
+                 pfb_ntap: int = 4, pfb_window: str = "hamming",
+                 fetch_every: int = 1):
         self._stateful = bool(pfb_nfft)
         if power_fn is None:
             if pfb_nfft:
@@ -147,7 +148,13 @@ class PowerPipeline:
             else:
                 power_fn = self._default_power_fn(mean)
         self._power_fn = power_fn
-        self._depth = max(1, depth)
+        # fetch_every > 1: stack that many (tiny) power outputs on device
+        # and fetch them as one transfer. Each synchronous fetch costs a
+        # fixed host<->device round trip (~30 ms through a remote tunnel);
+        # batching amortizes it so high block cadences stay real-time. The
+        # sink sees the same per-block records, fetch_every-1 blocks later.
+        self._fetch_every = max(1, fetch_every)
+        self._depth = max(self._fetch_every, max(1, depth))
         self.log = open_log(name, log_dir)
 
     @staticmethod
@@ -171,29 +178,78 @@ class PowerPipeline:
         # a call boundary).
         return make_streaming_pfb(nfft, ntap, window=window, mean=mean)
 
+    def warmup(self, ndf: int, nchk: int = C.NCHK_NIC) -> float:
+        """Compile the power step for the stream geometry; returns seconds.
+
+        Real-time callers must warm up before data starts flowing: the
+        first-block JIT compile (tens of seconds on a remote-compile TPU)
+        otherwise stalls the consumer, fills the ring, and trips the
+        capture fall-behind policy. Runs on zeros of the production 2-D
+        layout; the stateful PFB step is run twice to compile both the
+        no-history and with-history programs.
+        """
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        x = jax.device_put(np.zeros((ndf, nchk * C.DT_SIZE // 2),
+                                    dtype=np.int16))
+        if self._stateful:
+            out, carry = self._power_fn(x, None)
+            np.asarray(out)
+            out, _ = self._power_fn(x, carry)
+        else:
+            out = self._power_fn(x)
+        np.asarray(out)
+        if self._fetch_every > 1:
+            # the stacked-fetch program is distinct — compiling it on the
+            # first mid-stream flush would stall the ring reader
+            np.asarray(jnp.stack([out] * self._fetch_every))
+        dt = time.perf_counter() - t0
+        self.log.info("warmup: compiled power step for (%d, %d) in %.2f s",
+                      ndf, nchk, dt)
+        return dt
+
     def run(self, source: Iterable[np.ndarray], sink) -> PipelineStats:
+        import jax.numpy as jnp
+
         stats = PipelineStats()
-        inflight: collections.deque = collections.deque()
+        inflight: collections.deque = collections.deque()  # (array, nblocks)
+        pending: list = []           # device outs awaiting a stacked fetch
         t_start = time.perf_counter()
         t_block = t_start
         carry = None
-        self.log.info("pipeline start: depth=%d stateful=%s", self._depth,
-                      self._stateful)
+        self.log.info("pipeline start: depth=%d fetch_every=%d stateful=%s",
+                      self._depth, self._fetch_every, self._stateful)
+
+        def blocks_in_flight() -> int:
+            return sum(n for _, n in inflight) + len(pending)
+
+        def flush_pending():
+            if not pending:
+                return
+            if len(pending) == 1:
+                inflight.append((pending[0], 1))
+            else:
+                inflight.append((jnp.stack(pending), len(pending)))
+            pending.clear()
 
         def drain_one():
             nonlocal t_block
-            out = inflight.popleft()
-            host_out = np.asarray(out)
-            if debug.debug_enabled():
-                debug.check_power(host_out, stats.nblocks)
-                self.log.info("block %d ok: sum=%.6g max=%.6g",
-                              stats.nblocks, host_out.sum(), host_out.max())
-            sink.write(host_out)
+            arr, n = inflight.popleft()
+            host = np.asarray(arr)
+            rows = host[None] if n == 1 else host
             now = time.perf_counter()
-            stats.block_seconds.append(now - t_block)
+            per_block = (now - t_block) / n
+            for row in rows:
+                if debug.debug_enabled():
+                    debug.check_power(row, stats.nblocks)
+                    self.log.info("block %d ok: sum=%.6g max=%.6g",
+                                  stats.nblocks, row.sum(), row.max())
+                sink.write(row)
+                stats.block_seconds.append(per_block)
+                stats.nbytes_out += row.size * 4
+                stats.nblocks += 1
             t_block = now
-            stats.nbytes_out += out.size * 4
-            stats.nblocks += 1
 
         try:
             for block in source:
@@ -204,10 +260,13 @@ class PowerPipeline:
                     out, carry = self._power_fn(x, carry)
                 else:
                     out = self._power_fn(x)
-                inflight.append(out)
+                pending.append(out)
+                if len(pending) >= self._fetch_every:
+                    flush_pending()
                 stats.nbytes_in += block.nbytes
-                while len(inflight) > self._depth:
+                while blocks_in_flight() > self._depth and inflight:
                     drain_one()
+            flush_pending()
             while inflight:
                 drain_one()
             stats.elapsed = time.perf_counter() - t_start
