@@ -50,6 +50,16 @@ def main(argv=None) -> int:
                     help="average instead of sum over the window")
     ap.add_argument("--depth", type=int, default=2,
                     help="blocks in flight (ring NBLK analogue)")
+    ap.add_argument("--fetch-every", type=int, default=1,
+                    help="batch this many power outputs per device fetch "
+                    "(amortizes the fixed fetch round trip on remote-tunnel "
+                    "TPU; records reach the sink unchanged, N-1 blocks "
+                    "later)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip precompiling the power step (live ring "
+                    "sources need the warmup or the first-block compile "
+                    "stalls the ring and trips the capture fall-behind "
+                    "policy)")
     ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
                     help="channelize with an NFFT-point polyphase "
                     "filterbank before detection")
@@ -124,7 +134,10 @@ def main(argv=None) -> int:
         set_debug(True)
     pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir,
                          pfb_nfft=args.pfb, pfb_ntap=args.ntap,
-                         pfb_window=args.window)
+                         pfb_window=args.window,
+                         fetch_every=args.fetch_every)
+    if not args.no_warmup:
+        pipe.warmup(args.ndf, args.nchk)
     with profile_trace(args.profile):
         stats = pipe.run(source, sink)
     if args.stats_json:

@@ -191,8 +191,9 @@ class PowerPipeline:
         import jax.numpy as jnp
 
         t0 = time.perf_counter()
-        x = jax.device_put(np.zeros((ndf, nchk * C.DT_SIZE // 2),
-                                    dtype=np.int16))
+        # zeros created on device: a host block would be 2.8 GB at full
+        # geometry and ship it through the (slow) H2D path for nothing
+        x = jnp.zeros((ndf, nchk * C.DT_SIZE // 2), dtype=jnp.int16)
         if self._stateful:
             out, carry = self._power_fn(x, None)
             np.asarray(out)
