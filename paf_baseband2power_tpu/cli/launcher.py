@@ -75,8 +75,11 @@ def main(argv=None) -> int:
     for key in (key_in, key_out):
         if rb.exists(key):
             rb.destroy(key)
-    rb.create(key_in, conf.diskdb_rbufsz, conf.diskdb.nblk)
-    rb.create(key_out, conf.baseband2power_rbufsz, conf.baseband2power.nblk)
+    # NREADER from the config (dada_db -r, paf-baseband2power.py:114)
+    rb.create(key_in, conf.diskdb_rbufsz, conf.diskdb.nblk,
+              nreader=conf.diskdb.nreader)
+    rb.create(key_out, conf.baseband2power_rbufsz, conf.baseband2power.nblk,
+              nreader=conf.baseband2power.nreader)
     log.info("created rings: %s (%d x %d B), %s (%d x %d B)",
              key_in, conf.diskdb.nblk, conf.diskdb_rbufsz,
              key_out, conf.baseband2power.nblk, conf.baseband2power_rbufsz)

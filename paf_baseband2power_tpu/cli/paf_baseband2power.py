@@ -76,6 +76,10 @@ def main(argv=None) -> int:
                     "(the -DDEBUG rebuild analogue)")
     args = ap.parse_args(argv)
 
+    from ..runtime import apply_platform_env
+
+    apply_platform_env()
+
     import jax
 
     if args.device:

@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--tbuf-ndf", type=int, default=C.TBUF_NDF)
     ap.add_argument("--cpu-base", type=int, default=-1,
                     help="pin capture threads starting at this CPU")
+    ap.add_argument("--numa-node", type=int, default=-1,
+                    help="NUMA-aware pinning: thread i -> node*10 + i "
+                    "(the reference's affinity, sync.c:48-59)")
     ap.add_argument("--create-ring", type=int, metavar="NBLK", default=0,
                     help="create the ring with NBLK blocks first")
     ap.add_argument("--beam", type=int, default=-1,
@@ -82,7 +85,7 @@ def main(argv=None) -> int:
         tbuf_ndf=args.tbuf_ndf, timeout_sec=args.timeout,
         ndf_check=args.ndf_check, length_sec=args.length,
         cpu_base=args.cpu_base, zero_blocks=not args.no_zero,
-        beam=args.beam,
+        beam=args.beam, numa_node=args.numa_node,
     )
     with CaptureEngine(conf) as eng:
         nports = eng.probe()
@@ -104,15 +107,18 @@ def main(argv=None) -> int:
 
         rc = eng.wait()
 
-        # statistics table (capture.c:700-725)
+        # statistics table (capture.c:700-725; per-port elapsed_time
+        # capture.c:450,552)
         print(f"{'port':>6} {'expected':>10} {'received':>10} "
-              f"{'dropped':>8} {'loss':>8}")
+              f"{'dropped':>8} {'invalid':>8} {'loss':>8} {'elapsed':>9}")
         for st in eng.port_stats():
             print(f"{st.port:>6} {st.expected:>10} {st.received:>10} "
-                  f"{st.dropped:>8} {st.loss_rate:>8.4f}")
-            log.info("port %d: expected=%d received=%d dropped=%d loss=%.4f",
+                  f"{st.dropped:>8} {st.invalid:>8} {st.loss_rate:>8.4f} "
+                  f"{st.elapsed:>9.3f}")
+            log.info("port %d: expected=%d received=%d dropped=%d invalid=%d "
+                     "loss=%.4f elapsed=%.3f s",
                      st.port, st.expected, st.received, st.dropped,
-                     st.loss_rate)
+                     st.invalid, st.loss_rate, st.elapsed)
         log.info("blocks committed: %d, force switches: %d",
                  eng.blocks_committed, eng.force_switches)
         if rc:

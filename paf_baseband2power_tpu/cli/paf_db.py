@@ -18,6 +18,9 @@ def main(argv=None) -> int:
                     help="bytes per block")
     ap.add_argument("-n", "--nbufs", type=int, default=4,
                     help="number of blocks")
+    ap.add_argument("-r", "--nreader", type=int, default=1,
+                    help="reader clients every block must pass through "
+                    "(dada_db -r)")
     ap.add_argument("-d", "--destroy", action="store_true")
     args = ap.parse_args(argv)
 
@@ -29,8 +32,9 @@ def main(argv=None) -> int:
         return 0
     if args.bufsz is None:
         ap.error("-b/--bufsz is required to create a ring")
-    rb.create(args.key, args.bufsz, args.nbufs)
-    print(f"created ring '{args.key}': {args.nbufs} x {args.bufsz} bytes")
+    rb.create(args.key, args.bufsz, args.nbufs, nreader=args.nreader)
+    print(f"created ring '{args.key}': {args.nbufs} x {args.bufsz} bytes, "
+          f"{args.nreader} reader(s)")
     return 0
 
 

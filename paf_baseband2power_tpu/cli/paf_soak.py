@@ -26,14 +26,21 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--ndf", type=int, default=64, help="frames per block")
     ap.add_argument("--nchk", type=int, default=8)
+    ap.add_argument("--nblk", type=int, default=8,
+                    help="ring depth in blocks; deeper rings absorb compute "
+                    "stalls on core-starved hosts (NBLK analogue, "
+                    "paf-baseband2power.conf:11)")
     ap.add_argument("--nports", type=int, default=2)
     ap.add_argument("--port-base", type=int, default=29100)
-    ap.add_argument("--rate", type=float, default=0.1,
-                    help="stream rate as a multiple of real time. The "
-                    "Python software sender sustains ~0.25x on loopback; "
-                    "rates the host cannot hold correctly FAIL the soak "
-                    "(capture quits when a port falls a block behind, the "
+    ap.add_argument("--rate", type=float, default=1.0,
+                    help="stream rate as a multiple of real time. Rates the "
+                    "host cannot hold correctly FAIL the soak (capture "
+                    "quits when a port falls a block behind, the "
                     "reference's own policy)")
+    ap.add_argument("--sender", choices=["native", "py"], default="native",
+                    help="native = C++ sendmmsg sender (sustains the real "
+                    "BMF cadence, capture.h:27,30); py = the Python sender "
+                    "(~0.25x real time on loopback)")
     ap.add_argument("--max-loss", type=float, default=0.05,
                     help="fail threshold for packet loss")
     ap.add_argument("--fetch-every", type=int, default=8,
@@ -46,14 +53,17 @@ def main(argv=None) -> int:
     from .. import constants as C
     from ..io import ringbuffer as rb
     from ..io.capture import CaptureConf, CaptureEngine
-    from ..io.sender import stream_frames
+    from ..io.sender import stream_frames, stream_frames_native
+    from ..runtime import apply_platform_env
     from ..runtime.log import open_log
+
+    apply_platform_env()
     from ..runtime.pipeline import MemorySink, PowerPipeline
     from ..io.ringbuffer import RingSource
 
     log = open_log("paf_soak", args.dir)
     key = "sk" + uuid.uuid4().hex[:6]
-    rb.create(key, args.ndf * args.nchk * C.DT_SIZE, 4)
+    rb.create(key, args.ndf * args.nchk * C.DT_SIZE, args.nblk)
 
     # compile the compute step BEFORE any real-time machinery starts: a
     # first-block JIT (tens of seconds on a remote-compile TPU) would stall
@@ -105,19 +115,25 @@ def main(argv=None) -> int:
             utc_start=utc, picoseconds=ps, freq=eng.freq_center,
             nchan=args.nchk * C.NCHAN_CHK))
 
-    # paced sender: bursts of `burst` frame-times, sleeping to the schedule
-    def paced_sender():
-        burst = 8
-        t0 = time.perf_counter()
-        sent_ft = 0
-        while sent_ft < total_frames:
-            n = min(burst, total_frames - sent_ft)
-            stream_frames(**kw, idf0=idf0 + sent_ft, nframes=n)
-            sent_ft += n
-            target = t0 + sent_ft * frame_time
-            now = time.perf_counter()
-            if target > now:
-                time.sleep(target - now)
+    # paced sender: the native one paces itself on absolute deadlines; the
+    # Python fallback sleeps to schedule between bursts
+    if args.sender == "native":
+        def paced_sender():
+            stream_frames_native(**kw, idf0=idf0, nframes=total_frames,
+                                 rate=args.rate)
+    else:
+        def paced_sender():
+            burst = 8
+            t0 = time.perf_counter()
+            sent_ft = 0
+            while sent_ft < total_frames:
+                n = min(burst, total_frames - sent_ft)
+                stream_frames(**kw, idf0=idf0 + sent_ft, nframes=n)
+                sent_ft += n
+                target = t0 + sent_ft * frame_time
+                now = time.perf_counter()
+                if target > now:
+                    time.sleep(target - now)
 
     tx = threading.Thread(target=paced_sender)
 
@@ -146,6 +162,7 @@ def main(argv=None) -> int:
     report = {
         "seconds": args.seconds,
         "rate_x_realtime": args.rate,
+        "sender": args.sender,
         "frames_streamed": total_frames * args.nchk,
         "stream_elapsed": stream_elapsed,
         "loss": loss,

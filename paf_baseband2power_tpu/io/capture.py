@@ -33,6 +33,7 @@ class _ConfStruct(ctypes.Structure):
         ("cpu_base", ctypes.c_int),
         ("zero_blocks", ctypes.c_int),
         ("beam", ctypes.c_int),
+        ("numa_node", ctypes.c_int),
     ]
 
 
@@ -57,6 +58,8 @@ def _bind(lib):
         "pafb2p_capture_frames_received": (u64, [vp, i32]),
         "pafb2p_capture_frames_expected": (u64, [vp, i32]),
         "pafb2p_capture_frames_dropped": (u64, [vp, i32]),
+        "pafb2p_capture_frames_invalid": (u64, [vp, i32]),
+        "pafb2p_capture_port_elapsed": (ctypes.c_double, [vp, i32]),
         "pafb2p_capture_blocks_committed": (u64, [vp]),
         "pafb2p_capture_force_switches": (u64, [vp]),
     }
@@ -85,6 +88,8 @@ class CaptureConf:
     cpu_base: int = -1
     zero_blocks: bool = True
     beam: int = -1   # accept only this beam id; -1 = any
+    numa_node: int = -1  # NUMA-aware pinning: thread i -> node*10 + i
+                         # (the reference's placement, sync.c:48-59)
 
     def to_struct(self) -> _ConfStruct:
         s = _ConfStruct()
@@ -103,6 +108,7 @@ class CaptureConf:
         s.cpu_base = self.cpu_base
         s.zero_blocks = int(self.zero_blocks)
         s.beam = self.beam
+        s.numa_node = self.numa_node
         return s
 
 
@@ -112,6 +118,9 @@ class PortStats:
     received: int
     expected: int
     dropped: int
+    invalid: int = 0      # frames rejected for a cleared valid bit
+    elapsed: float = 0.0  # seconds between first and last accepted frame
+                          # (per-socket elapsed_time, capture.c:450,552)
 
     @property
     def loss_rate(self) -> float:
@@ -189,6 +198,8 @@ class CaptureEngine:
                 received=self._lib.pafb2p_capture_frames_received(self._h, p),
                 expected=self._lib.pafb2p_capture_frames_expected(self._h, p),
                 dropped=self._lib.pafb2p_capture_frames_dropped(self._h, p),
+                invalid=self._lib.pafb2p_capture_frames_invalid(self._h, p),
+                elapsed=self._lib.pafb2p_capture_port_elapsed(self._h, p),
             ))
         return out
 

@@ -50,13 +50,14 @@ def load_library() -> ctypes.CDLL:
         u64, u32, i32 = ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int
         p_u8 = ctypes.POINTER(ctypes.c_uint8)
         sigs = {
-            "pafb2p_rb_create": (i32, [ctypes.c_char_p, u64, u32, u32]),
+            "pafb2p_rb_create": (i32, [ctypes.c_char_p, u64, u32, u32, u32]),
             "pafb2p_rb_destroy": (i32, [ctypes.c_char_p]),
             "pafb2p_rb_connect": (ctypes.c_void_p, [ctypes.c_char_p]),
             "pafb2p_rb_disconnect": (None, [ctypes.c_void_p]),
             "pafb2p_rb_bufsz": (u64, [ctypes.c_void_p]),
             "pafb2p_rb_nbufs": (u32, [ctypes.c_void_p]),
             "pafb2p_rb_hdrsz": (u32, [ctypes.c_void_p]),
+            "pafb2p_rb_nreaders": (u32, [ctypes.c_void_p]),
             "pafb2p_rb_write_header": (i32, [ctypes.c_void_p, ctypes.c_char_p,
                                              ctypes.c_size_t]),
             "pafb2p_rb_read_header": (i32, [ctypes.c_void_p, ctypes.c_char_p,
@@ -94,9 +95,12 @@ def _check(rc: int, what: str) -> None:
 
 
 def create(key: str, bufsz: int, nbufs: int,
-           hdrsz: int = C.DADA_HDR_SIZE) -> None:
-    """Create a ring (the ``dada_db -l`` analogue, paf-baseband2power.py:114)."""
-    _check(load_library().pafb2p_rb_create(key.encode(), bufsz, nbufs, hdrsz),
+           hdrsz: int = C.DADA_HDR_SIZE, nreader: int = 1) -> None:
+    """Create a ring (the ``dada_db -l -r NREADER`` analogue,
+    paf-baseband2power.py:114). Every block must be released by all
+    ``nreader`` reader clients before the writer may reuse it."""
+    _check(load_library().pafb2p_rb_create(key.encode(), bufsz, nbufs, hdrsz,
+                                           nreader),
            f"create ring '{key}'")
 
 
@@ -135,6 +139,10 @@ class RingBuffer:
     @property
     def hdrsz(self) -> int:
         return self._lib.pafb2p_rb_hdrsz(self._h)
+
+    @property
+    def nreaders(self) -> int:
+        return self._lib.pafb2p_rb_nreaders(self._h)
 
     # header channel --------------------------------------------------------
     def write_header(self, header: DadaHeader | bytes) -> None:

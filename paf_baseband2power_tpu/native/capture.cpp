@@ -64,11 +64,20 @@ uint64_t global_idf(const FrameHdr &h) {
   return (h.sec / kPrdSec) * kNdfPrd + h.idf;
 }
 
+double monotonic_sec() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return static_cast<double>(ts.tv_sec) + 1e-9 * ts.tv_nsec;
+}
+
 struct PortStats {
   std::atomic<uint64_t> received{0};
   std::atomic<uint64_t> dropped{0};
+  std::atomic<uint64_t> invalid{0};
   std::atomic<uint64_t> last_g{0};
   std::atomic<uint64_t> nchunks{0};
+  std::atomic<double> t_first{0.0}; /* first accepted frame (monotonic s) */
+  std::atomic<double> t_last{0.0};  /* last accepted frame */
 };
 
 } // namespace
@@ -132,6 +141,19 @@ void pin_thread(int cpu) {
   pthread_setaffinity_np(pthread_self(), sizeof(set), &set);
 }
 
+/* NUMA-aware placement: thread `slot` of a capture on NUMA node n lands on
+ * cpu n*10 + base + slot — the reference's `i + node*10` affinity
+ * (sync.c:48-59). With numa_node < 0 this is a flat cpu_base offset; with
+ * both unset, no pinning. */
+int thread_cpu(const pafb2p_capture_conf &conf, int slot) {
+  if (conf.cpu_base < 0 && conf.numa_node < 0)
+    return -1;
+  int base = conf.cpu_base < 0 ? 0 : conf.cpu_base;
+  if (conf.numa_node >= 0)
+    base += conf.numa_node * 10;
+  return base + slot;
+}
+
 int chunk_of(const pafb2p_capture *h, double freq) {
   double f = (freq - h->conf.freq_base) / h->conf.chunk_bw;
   int i = static_cast<int>(lround(f));
@@ -172,7 +194,7 @@ int rotate_block(pafb2p_capture *h) {
 }
 
 void capture_thread(pafb2p_capture *h, int slot) {
-  pin_thread(h->conf.cpu_base < 0 ? -1 : h->conf.cpu_base + slot);
+  pin_thread(thread_cpu(h->conf, slot));
   int sock = h->socks[h->active[slot]];
   PortStats &st = h->stats[h->active[slot]];
   uint8_t buf[kFrameBytes];
@@ -195,6 +217,11 @@ void capture_thread(pafb2p_capture *h, int slot) {
       continue;
     }
     FrameHdr fh = decode_hdr(buf);
+    if (!fh.valid) {
+      /* cleared valid bit: reject at the wire (hdr.c:15-16) */
+      st.invalid.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
     if (h->conf.beam >= 0 &&
         fh.beam != static_cast<uint32_t>(h->conf.beam)) {
       st.dropped.fetch_add(1, std::memory_order_relaxed);
@@ -205,6 +232,10 @@ void capture_thread(pafb2p_capture *h, int slot) {
       st.dropped.fetch_add(1, std::memory_order_relaxed);
       continue;
     }
+    double now = monotonic_sec();
+    if (st.t_first.load(std::memory_order_relaxed) == 0.0)
+      st.t_first.store(now, std::memory_order_relaxed);
+    st.t_last.store(now, std::memory_order_relaxed);
     uint64_t g = global_idf(fh);
     st.last_g.store(g, std::memory_order_relaxed);
     if (g >= h->end_g) {
@@ -213,6 +244,9 @@ void capture_thread(pafb2p_capture *h, int slot) {
     }
 
     std::shared_lock<std::shared_mutex> lk(h->rot_mu);
+    if (!h->cur_block)
+      break; /* sync thread already closed the stream (quit/EOD) while this
+              * thread was blocked in recv */
     uint64_t base = h->block_base.load(std::memory_order_relaxed);
     int64_t rel = static_cast<int64_t>(g) - static_cast<int64_t>(base);
     if (rel < 0) {
@@ -247,9 +281,7 @@ void capture_thread(pafb2p_capture *h, int slot) {
 }
 
 void sync_thread(pafb2p_capture *h) {
-  pin_thread(h->conf.cpu_base < 0 ? -1
-                                  : h->conf.cpu_base +
-                                        static_cast<int>(h->active.size()));
+  pin_thread(thread_cpu(h->conf, static_cast<int>(h->active.size())));
   size_t nports = h->active.size();
   for (;;) {
     bool all_fin = true, all_next = true, any_next = false;
@@ -347,6 +379,8 @@ int pafb2p_capture_probe(pafb2p_capture *h) {
       if (static_cast<size_t>(n) != kFrameBytes)
         continue;
       FrameHdr fh = decode_hdr(buf);
+      if (!fh.valid)
+        continue;
       if (h->conf.beam >= 0 &&
           fh.beam != static_cast<uint32_t>(h->conf.beam))
         continue;
@@ -465,6 +499,16 @@ uint64_t pafb2p_capture_frames_received(const pafb2p_capture *h, int port) {
 }
 uint64_t pafb2p_capture_frames_dropped(const pafb2p_capture *h, int port) {
   return port < kMaxPorts ? h->stats[port].dropped.load() : 0;
+}
+uint64_t pafb2p_capture_frames_invalid(const pafb2p_capture *h, int port) {
+  return port < kMaxPorts ? h->stats[port].invalid.load() : 0;
+}
+double pafb2p_capture_port_elapsed(const pafb2p_capture *h, int port) {
+  if (port >= kMaxPorts)
+    return 0.0;
+  const PortStats &st = h->stats[port];
+  double t0 = st.t_first.load(), t1 = st.t_last.load();
+  return (t0 > 0.0 && t1 > t0) ? t1 - t0 : 0.0;
 }
 uint64_t pafb2p_capture_frames_expected(const pafb2p_capture *h, int port) {
   if (port >= kMaxPorts)

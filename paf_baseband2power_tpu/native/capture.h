@@ -55,6 +55,10 @@ typedef struct pafb2p_capture_conf {
   int beam;              /* accept only this beam id; -1 = any (one beam
                             per stream, like the reference's per-beam
                             deployment; hdr.c:25 carries the id) */
+  int numa_node;         /* NUMA-aware pinning: thread i lands on cpu
+                            numa_node*10 + cpu_base + i, the reference's
+                            `i + node*10` placement (sync.c:48-59);
+                            -1 = flat cpu_base offset only */
 } pafb2p_capture_conf;
 
 pafb2p_capture *pafb2p_capture_create(const pafb2p_capture_conf *conf);
@@ -85,6 +89,11 @@ int pafb2p_capture_active_chunks(const pafb2p_capture *h);
 uint64_t pafb2p_capture_frames_received(const pafb2p_capture *h, int port);
 uint64_t pafb2p_capture_frames_expected(const pafb2p_capture *h, int port);
 uint64_t pafb2p_capture_frames_dropped(const pafb2p_capture *h, int port);
+/* frames rejected for a cleared header valid bit (hdr.c:15-16) */
+uint64_t pafb2p_capture_frames_invalid(const pafb2p_capture *h, int port);
+/* wall-clock seconds between the port's first and last accepted frame
+ * (per-socket elapsed_time, capture.c:450,552) */
+double pafb2p_capture_port_elapsed(const pafb2p_capture *h, int port);
 uint64_t pafb2p_capture_blocks_committed(const pafb2p_capture *h);
 uint64_t pafb2p_capture_force_switches(const pafb2p_capture *h);
 

@@ -17,31 +17,48 @@
 namespace {
 
 constexpr uint64_t kMagic = 0x50414642325042ULL; /* "PAFB2PB" */
-constexpr uint32_t kVersion = 1;
+constexpr uint32_t kVersion = 2;
 constexpr uint64_t kPollUs = 200; /* wait poll interval */
 constexpr uint64_t kNoEod = ~0ULL;
 
 /* Control page at the start of the segment. Cursors are monotonically
  * increasing block counts (never wrapped), so full/empty tests are simple
- * subtractions and ABA cannot occur. */
+ * subtractions and ABA cannot occur.
+ *
+ * Multi-reader protocol (the `dada_db -r NREADER` analogue,
+ * paf-baseband2power.py:114 / paf-baseband2power.conf:13): each of the
+ * `nreaders` reader slots keeps its own open/close cursors; a block is
+ * recyclable only once the *slowest* reader has released it, so the writer
+ * waits on min(r_closed). Readers claim a slot with a CAS at lock time. */
 struct Control {
   uint64_t magic;
   uint32_t version;
   uint32_t hdrsz;
   uint64_t bufsz;
   uint32_t nbufs;
-  uint32_t pad0;
+  uint32_t nreaders; /* reader slots every block must pass through */
 
   std::atomic<uint64_t> w_opened;  /* blocks opened for write  */
   std::atomic<uint64_t> w_closed;  /* blocks committed         */
-  std::atomic<uint64_t> r_opened;  /* blocks opened for read   */
-  std::atomic<uint64_t> r_closed;  /* blocks released          */
   std::atomic<uint64_t> eod_block; /* first block index past end, or kNoEod */
   std::atomic<uint32_t> hdr_filled;
-  std::atomic<uint32_t> w_locked; /* writer/reader registration */
-  std::atomic<uint32_t> r_locked;
+  std::atomic<uint32_t> w_locked; /* writer registration */
+  std::atomic<uint64_t> r_opened[PAFB2P_RB_MAX_READERS];
+  std::atomic<uint64_t> r_closed[PAFB2P_RB_MAX_READERS];
+  std::atomic<uint32_t> r_locked[PAFB2P_RB_MAX_READERS];
   /* per-block payload sizes follow, then the header area, then data */
 };
+
+/* Slowest reader's release cursor — the writer's reuse horizon. */
+uint64_t min_r_closed(const Control *c) {
+  uint64_t m = ~0ULL;
+  for (uint32_t i = 0; i < c->nreaders; ++i) {
+    uint64_t v = c->r_closed[i].load(std::memory_order_acquire);
+    if (v < m)
+      m = v;
+  }
+  return m;
+}
 
 size_t control_bytes(uint32_t nbufs) {
   return (sizeof(Control) + nbufs * sizeof(uint64_t) + 63) & ~size_t(63);
@@ -71,14 +88,15 @@ struct pafb2p_rb {
   uint8_t *data = nullptr;
   size_t map_len = 0;
   bool is_writer = false;
-  bool is_reader = false;
+  int reader_slot = -1; /* >= 0 once locked for read */
 };
 
 extern "C" {
 
 int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
-                     uint32_t hdrsz) {
-  if (bufsz == 0 || nbufs == 0)
+                     uint32_t hdrsz, uint32_t nreaders) {
+  if (bufsz == 0 || nbufs == 0 || nreaders == 0 ||
+      nreaders > PAFB2P_RB_MAX_READERS)
     return -EINVAL;
   char name[256];
   shm_name(key, name, sizeof(name));
@@ -104,14 +122,17 @@ int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
   ctl->hdrsz = hdrsz;
   ctl->bufsz = bufsz;
   ctl->nbufs = nbufs;
+  ctl->nreaders = nreaders;
   ctl->w_opened.store(0);
   ctl->w_closed.store(0);
-  ctl->r_opened.store(0);
-  ctl->r_closed.store(0);
   ctl->eod_block.store(kNoEod);
   ctl->hdr_filled.store(0);
   ctl->w_locked.store(0);
-  ctl->r_locked.store(0);
+  for (uint32_t i = 0; i < PAFB2P_RB_MAX_READERS; ++i) {
+    ctl->r_opened[i].store(0);
+    ctl->r_closed[i].store(0);
+    ctl->r_locked[i].store(0);
+  }
   munmap(p, len);
   return 0;
 }
@@ -160,7 +181,7 @@ void pafb2p_rb_disconnect(pafb2p_rb *h) {
     return;
   if (h->is_writer)
     pafb2p_rb_unlock_write(h);
-  if (h->is_reader)
+  if (h->reader_slot >= 0)
     pafb2p_rb_unlock_read(h);
   munmap(h->ctl, h->map_len);
   delete h;
@@ -169,6 +190,9 @@ void pafb2p_rb_disconnect(pafb2p_rb *h) {
 uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h) { return h ? h->ctl->bufsz : 0; }
 uint32_t pafb2p_rb_nbufs(const pafb2p_rb *h) { return h ? h->ctl->nbufs : 0; }
 uint32_t pafb2p_rb_hdrsz(const pafb2p_rb *h) { return h ? h->ctl->hdrsz : 0; }
+uint32_t pafb2p_rb_nreaders(const pafb2p_rb *h) {
+  return h ? h->ctl->nreaders : 0;
+}
 
 int pafb2p_rb_write_header(pafb2p_rb *h, const char *buf, size_t n) {
   if (n > h->ctl->hdrsz)
@@ -223,9 +247,9 @@ uint8_t *pafb2p_rb_open_block_write(pafb2p_rb *h, uint64_t timeout_us) {
   if (w != c->w_closed.load(std::memory_order_relaxed))
     return nullptr; /* a block is already open */
   uint64_t waited = 0;
-  while (w - c->r_closed.load(std::memory_order_acquire) >= c->nbufs) {
+  while (w - min_r_closed(c) >= c->nbufs) {
     if (waited >= timeout_us)
-      return nullptr; /* ring full */
+      return nullptr; /* ring full (slowest reader holds the horizon) */
     sleep_us(kPollUs);
     waited += kPollUs;
   }
@@ -252,28 +276,34 @@ int pafb2p_rb_set_eod(pafb2p_rb *h) {
 }
 
 int pafb2p_rb_lock_read(pafb2p_rb *h) {
-  uint32_t expect = 0;
-  if (!h->ctl->r_locked.compare_exchange_strong(expect, 1))
-    return -EBUSY;
-  h->is_reader = true;
-  return 0;
+  if (h->reader_slot >= 0)
+    return -EPERM; /* already a reader */
+  for (uint32_t i = 0; i < h->ctl->nreaders; ++i) {
+    uint32_t expect = 0;
+    if (h->ctl->r_locked[i].compare_exchange_strong(expect, 1)) {
+      h->reader_slot = static_cast<int>(i);
+      return 0;
+    }
+  }
+  return -EBUSY; /* all nreaders slots taken */
 }
 
 int pafb2p_rb_unlock_read(pafb2p_rb *h) {
-  if (!h->is_reader)
+  if (h->reader_slot < 0)
     return -EPERM;
-  h->is_reader = false;
-  h->ctl->r_locked.store(0);
+  h->ctl->r_locked[h->reader_slot].store(0);
+  h->reader_slot = -1;
   return 0;
 }
 
 const uint8_t *pafb2p_rb_open_block_read(pafb2p_rb *h, uint64_t *nbytes,
                                          uint64_t timeout_us) {
-  if (!h->is_reader)
+  if (h->reader_slot < 0)
     return nullptr;
   Control *c = h->ctl;
-  uint64_t r = c->r_opened.load(std::memory_order_relaxed);
-  if (r != c->r_closed.load(std::memory_order_relaxed))
+  int s = h->reader_slot;
+  uint64_t r = c->r_opened[s].load(std::memory_order_relaxed);
+  if (r != c->r_closed[s].load(std::memory_order_relaxed))
     return nullptr; /* a block is already open */
   uint64_t waited = 0;
   while (c->w_closed.load(std::memory_order_acquire) == r) {
@@ -284,18 +314,21 @@ const uint8_t *pafb2p_rb_open_block_read(pafb2p_rb *h, uint64_t *nbytes,
     sleep_us(kPollUs);
     waited += kPollUs;
   }
-  c->r_opened.store(r + 1, std::memory_order_relaxed);
+  c->r_opened[s].store(r + 1, std::memory_order_relaxed);
   if (nbytes)
     *nbytes = h->block_bytes[r % c->nbufs];
   return h->data + (r % c->nbufs) * c->bufsz;
 }
 
 int pafb2p_rb_close_block_read(pafb2p_rb *h) {
-  Control *c = h->ctl;
-  uint64_t r = c->r_closed.load(std::memory_order_relaxed);
-  if (c->r_opened.load(std::memory_order_relaxed) != r + 1)
+  if (h->reader_slot < 0)
     return -EPERM;
-  c->r_closed.store(r + 1, std::memory_order_release);
+  Control *c = h->ctl;
+  int s = h->reader_slot;
+  uint64_t r = c->r_closed[s].load(std::memory_order_relaxed);
+  if (c->r_opened[s].load(std::memory_order_relaxed) != r + 1)
+    return -EPERM;
+  c->r_closed[s].store(r + 1, std::memory_order_release);
   return 0;
 }
 
@@ -304,18 +337,22 @@ int pafb2p_rb_at_eod(const pafb2p_rb *h) {
   uint64_t eod = c->eod_block.load(std::memory_order_acquire);
   if (eod == kNoEod)
     return 0;
-  return c->r_closed.load(std::memory_order_relaxed) >= eod ? 1 : 0;
+  uint64_t r = h->reader_slot >= 0
+                   ? c->r_closed[h->reader_slot].load(std::memory_order_relaxed)
+                   : min_r_closed(c);
+  return r >= eod ? 1 : 0;
 }
 
 uint64_t pafb2p_rb_blocks_written(const pafb2p_rb *h) {
   return h->ctl->w_closed.load(std::memory_order_relaxed);
 }
 uint64_t pafb2p_rb_blocks_read(const pafb2p_rb *h) {
-  return h->ctl->r_closed.load(std::memory_order_relaxed);
+  /* the slowest reader's progress — the writer's view of consumption */
+  return min_r_closed(h->ctl);
 }
 uint64_t pafb2p_rb_blocks_full(const pafb2p_rb *h) {
   return h->ctl->w_closed.load(std::memory_order_relaxed) -
-         h->ctl->r_closed.load(std::memory_order_relaxed);
+         min_r_closed(h->ctl);
 }
 
 } /* extern "C" */

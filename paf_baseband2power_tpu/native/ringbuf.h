@@ -7,10 +7,13 @@
  * sync.c:101-110, diskdb.cu:24-67). Differences by design:
  *
  *   - POSIX shm (shm_open/mmap) instead of SysV, one segment per ring.
- *   - Lock-free single-writer/single-reader protocol: monotonically
+ *   - Lock-free single-writer/multi-reader protocol: monotonically
  *     increasing block cursors in std::atomic<uint64_t>, waits are
  *     microsleep polls (block cadence is ~1 Hz at 2.8 GB blocks; no
  *     cross-process robust-mutex complexity).
+ *   - N reader slots (the `dada_db -r NREADER` analogue,
+ *     paf-baseband2power.py:114): every block must be released by all
+ *     nreaders before the writer may reuse it.
  *   - Explicit per-block byte counts so a final partial block is legal.
  *
  * C ABI for ctypes binding; returns 0 on success, negative errno-style
@@ -29,9 +32,12 @@ extern "C" {
 
 typedef struct pafb2p_rb pafb2p_rb; /* opaque handle */
 
-/* lifecycle */
+#define PAFB2P_RB_MAX_READERS 8
+
+/* lifecycle; nreaders = reader slots every block must pass through
+ * (1..PAFB2P_RB_MAX_READERS) */
 int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
-                     uint32_t hdrsz);
+                     uint32_t hdrsz, uint32_t nreaders);
 int pafb2p_rb_destroy(const char *key);
 pafb2p_rb *pafb2p_rb_connect(const char *key);
 void pafb2p_rb_disconnect(pafb2p_rb *h);
@@ -40,6 +46,7 @@ void pafb2p_rb_disconnect(pafb2p_rb *h);
 uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h);
 uint32_t pafb2p_rb_nbufs(const pafb2p_rb *h);
 uint32_t pafb2p_rb_hdrsz(const pafb2p_rb *h);
+uint32_t pafb2p_rb_nreaders(const pafb2p_rb *h);
 
 /* header channel (stream metadata, DADA ASCII by convention) */
 int pafb2p_rb_write_header(pafb2p_rb *h, const char *buf, size_t n);

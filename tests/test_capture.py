@@ -211,6 +211,205 @@ def test_capture_start_metadata(ring_key):
     eng.close()
 
 
+def test_capture_port_elapsed(ring_key):
+    """Per-port elapsed time (capture.c:450,552) is recorded."""
+    port_base = _free_ports()
+    eng, rc, _ = run_capture(ring_key, nframes=2 * NDF, port_base=port_base)
+    assert rc == 0
+    for st in eng.port_stats():
+        assert st.elapsed > 0.0
+    eng.close()
+
+
+def test_capture_invalid_frames_rejected(ring_key):
+    """Frames with a cleared valid bit are rejected and counted
+    (hdr.c:15-16)."""
+    port_base = _free_ports()
+    eng, rc, idf0 = run_capture(
+        ring_key, nframes=2 * NDF, port_base=port_base,
+        sender_kwargs=dict(invalid_prob=0.25, seed=11))
+    assert rc == 0
+    stats = eng.port_stats()
+    ninvalid = sum(s.invalid for s in stats)
+    assert ninvalid > 0
+    eng.close()
+    # invalid frames never land in the block: their slots stay zero, like
+    # dropped frames (zero_blocks), and valid ones are still bit-exact
+    blocks = read_blocks(ring_key)
+    assert len(blocks) >= 2
+    arr = blocks[0].view("<i2").reshape(NDF, NCHK, C.DT_SIZE // 2)
+    nzero = sum(1 for t in range(NDF) for c in range(NCHK)
+                if arr[t, c, 1] == 0)
+    assert nzero > 0  # some invalidated slots
+    filled_checked = 0
+    for t in range(NDF):
+        for c in range(NCHK):
+            if arr[t, c, 1] != 0:
+                np.testing.assert_array_equal(
+                    arr[t, c], expected_payload(idf0 + t, c))
+                filled_checked += 1
+    assert filled_checked > 0
+
+
+def test_capture_native_sender_parity(ring_key):
+    """The C++ sendmmsg sender produces the identical wire stream: capture
+    places its frames bit-exactly where the Python sender's land."""
+    import threading
+
+    from paf_baseband2power_tpu.io.sender import stream_frames_native
+
+    port_base = _free_ports()
+    conf = CaptureConf(
+        ip="127.0.0.1", port_base=port_base, nports=NPORTS,
+        ring_key=ring_key, ndf_blk=NDF, nchk=NCHK, freq_base=FREQ0,
+        chunk_bw=7.0, tbuf_ndf=16, timeout_sec=1.5, ndf_check=NCHK * 2,
+        zero_blocks=True,
+    )
+    eng = CaptureEngine(conf)
+    kw = dict(host="127.0.0.1", port_base=port_base, nports=NPORTS,
+              nchk=NCHK, freq_base=FREQ0, chunk_bw=7.0, epoch=51, sec0=27)
+
+    probe_done = threading.Event()
+
+    def probe_feed():
+        while not probe_done.is_set():
+            stream_frames(**dict(kw, idf0=0, nframes=NCHK * 2,
+                                 pace_sec=0.0005))
+
+    tx0 = threading.Thread(target=probe_feed)
+    tx0.start()
+    try:
+        assert eng.probe() == NPORTS
+    finally:
+        probe_done.set()
+        tx0.join()
+    eng.start()
+    idf0 = eng.ref_idf
+    # gentle pacing (100x real time of this tiny geometry) so loopback
+    # receive buffers never overflow; parity is the point here, rate is
+    # benchmarked in the soak
+    sent = stream_frames_native(**kw, idf0=idf0, nframes=2 * NDF, rate=0.02)
+    assert sent == 2 * NDF * NCHK
+    rc = eng.wait()
+    assert rc == 0
+    eng.close()
+
+    blocks = read_blocks(ring_key)
+    assert len(blocks) >= 2
+    for bi in range(2):
+        arr = blocks[bi].view("<i2").reshape(NDF, NCHK, C.DT_SIZE // 2)
+        for t in (0, NDF - 1):
+            for c in (0, NCHK - 1):
+                k = idf0 + bi * NDF + t
+                np.testing.assert_array_equal(
+                    arr[t, c], expected_payload(k, c),
+                    err_msg=f"block {bi} frame {t} chunk {c}")
+
+
+def test_capture_force_switch(ring_key):
+    """Graceful data loss (capture.c:510-524, design note 471-488): a frame
+    too far ahead for the temp buffer forces a block switch instead of a
+    stall; capture continues and later frames land correctly."""
+    port_base = _free_ports()
+    conf = CaptureConf(
+        ip="127.0.0.1", port_base=port_base, nports=NPORTS,
+        ring_key=ring_key, ndf_blk=NDF, nchk=NCHK, freq_base=FREQ0,
+        chunk_bw=7.0, tbuf_ndf=16, timeout_sec=1.5, ndf_check=NCHK * 2,
+        zero_blocks=True,
+    )
+    eng = CaptureEngine(conf)
+    kw = dict(host="127.0.0.1", port_base=port_base, nports=NPORTS,
+              nchk=NCHK, freq_base=FREQ0, chunk_bw=7.0, epoch=51, sec0=27)
+
+    probe_done = threading.Event()
+
+    def probe_feed():
+        while not probe_done.is_set():
+            stream_frames(**dict(kw, idf0=0, nframes=NCHK * 2,
+                                 pace_sec=0.0005))
+
+    tx0 = threading.Thread(target=probe_feed)
+    tx0.start()
+    try:
+        eng.probe()
+    finally:
+        probe_done.set()
+        tx0.join()
+    eng.start()
+    idf0 = eng.ref_idf
+
+    # a few in-window frames, then a jump past the temp buffer but short of
+    # the quit threshold: ndf + tbuf_ndf <= rel < 2*ndf
+    stream_frames(**dict(kw, idf0=idf0, nframes=4, pace_sec=0.0005))
+    jump = NDF + 16 + 4   # rel in [ndf+tbuf, 2*ndf)
+    assert NDF + 16 <= jump < 2 * NDF
+    stream_frames(**dict(kw, idf0=idf0 + jump, nframes=2, pace_sec=0.0005))
+    # after the forced rotation the stream continues in the NEXT block's
+    # window; these frames must land normally
+    stream_frames(**dict(kw, idf0=idf0 + NDF, nframes=4, pace_sec=0.0005))
+    rc = eng.wait()
+    assert rc == 0                      # force-switch is NOT fatal
+    assert eng.force_switches >= 1
+    assert eng.blocks_committed >= 2    # rotation happened
+    eng.close()
+
+    blocks = read_blocks(ring_key)
+    assert len(blocks) >= 2
+    # post-switch frames landed in block 1 at their TFTFP slots
+    arr = blocks[1].view("<i2").reshape(NDF, NCHK, C.DT_SIZE // 2)
+    for t in range(2):
+        for c in (0, NCHK - 1):
+            np.testing.assert_array_equal(
+                arr[t, c], expected_payload(idf0 + NDF + t, c))
+
+
+def test_capture_fall_behind_quit(ring_key):
+    """Unrecoverable fall-behind (capture.c:491-509): a frame a full extra
+    block ahead quits the engine; wait() reports it and EOD is still set so
+    downstream readers terminate."""
+    port_base = _free_ports()
+    conf = CaptureConf(
+        ip="127.0.0.1", port_base=port_base, nports=NPORTS,
+        ring_key=ring_key, ndf_blk=NDF, nchk=NCHK, freq_base=FREQ0,
+        chunk_bw=7.0, tbuf_ndf=16, timeout_sec=1.5, ndf_check=NCHK * 2,
+        zero_blocks=True,
+    )
+    eng = CaptureEngine(conf)
+    kw = dict(host="127.0.0.1", port_base=port_base, nports=NPORTS,
+              nchk=NCHK, freq_base=FREQ0, chunk_bw=7.0, epoch=51, sec0=27)
+
+    probe_done = threading.Event()
+
+    def probe_feed():
+        while not probe_done.is_set():
+            stream_frames(**dict(kw, idf0=0, nframes=NCHK * 2,
+                                 pace_sec=0.0005))
+
+    tx0 = threading.Thread(target=probe_feed)
+    tx0.start()
+    try:
+        eng.probe()
+    finally:
+        probe_done.set()
+        tx0.join()
+    eng.start()
+    idf0 = eng.ref_idf
+
+    stream_frames(**dict(kw, idf0=idf0, nframes=2, pace_sec=0.0005))
+    # a frame >= 2 blocks ahead of the current window: fatal
+    stream_frames(**dict(kw, idf0=idf0 + 2 * NDF + 1, nframes=1,
+                         pace_sec=0.0005))
+    rc = eng.wait()
+    assert rc == 1   # quit, the reference's unrecoverable policy
+    eng.close()
+
+    # EOD was signalled on the quit path (sync.c:184,196 contract): a
+    # reader drains whatever was committed and terminates instead of
+    # hanging
+    blocks = read_blocks(ring_key)
+    assert isinstance(blocks, list)
+
+
 def test_capture_beam_filter(ring_key):
     """beam filter: frames from other beams are rejected as invalid."""
     port_base = _free_ports()

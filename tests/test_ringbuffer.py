@@ -164,6 +164,100 @@ def test_cross_process_stream(key):
         assert p.exitcode == 0
 
 
+def test_multi_reader_independent_cursors(key):
+    """nreader=2 (dada_db -r 2): both readers see every block, each at its
+    own pace; the writer recycles only past the slowest."""
+    rb.create(key, bufsz=64, nbufs=2, nreader=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r1, \
+            rb.RingBuffer(key) as r2:
+        assert w.nreaders == 2
+        w.lock_write()
+        r1.lock_read()
+        r2.lock_read()
+        # fill the ring; a third block must wait for BOTH readers
+        for i in range(2):
+            view = w.open_block_write()
+            view[:] = i + 1
+            w.close_block_write()
+        with pytest.raises(TimeoutError):
+            w.open_block_write(timeout_us=10_000)
+        # one reader releasing is not enough — the slowest holds the horizon
+        r1.open_block_read()
+        r1.close_block_read()
+        with pytest.raises(TimeoutError):
+            w.open_block_write(timeout_us=10_000)
+        r2.open_block_read()
+        r2.close_block_read()
+        view = w.open_block_write()
+        view[:] = 3
+        w.close_block_write()
+        w.set_eod()
+        # both readers drain the remaining blocks independently
+        for r, start in ((r1, 2), (r2, 2)):
+            seen = []
+            while True:
+                v = r.open_block_read(timeout_us=1_000_000)
+                if v is None:
+                    break
+                seen.append(int(v[0]))
+                r.close_block_read()
+            assert seen == [2, 3], seen
+            assert r.at_eod()
+
+
+def test_multi_reader_slots_exhausted(key):
+    rb.create(key, bufsz=64, nbufs=2, nreader=2)
+    with rb.RingBuffer(key) as a, rb.RingBuffer(key) as b, \
+            rb.RingBuffer(key) as c:
+        a.lock_read()
+        b.lock_read()
+        with pytest.raises(rb.RingBufferError):
+            c.lock_read()
+        b.unlock_read()
+        c.lock_read()  # freed slot is reusable
+
+
+def _multi_reader_proc(key, nblocks, out_q):
+    ring = rb.RingBuffer(key)
+    ring.lock_read()
+    total = 0
+    while True:
+        view = ring.open_block_read()
+        if view is None:
+            break
+        total += int(view[0])
+        ring.close_block_read()
+    ring.unlock_read()
+    ring.disconnect()
+    out_q.put(total)
+
+
+def test_multi_reader_concurrent_processes(key):
+    """Two reader processes consume one writer's stream concurrently."""
+    rb.create(key, bufsz=4096, nbufs=3, nreader=2)
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    readers = [ctx.Process(target=_multi_reader_proc, args=(key, 9, q))
+               for _ in range(2)]
+    for p in readers:
+        p.start()
+    try:
+        with rb.RingBuffer(key) as w:
+            w.lock_write()
+            for i in range(9):
+                view = w.open_block_write()
+                view[:] = i + 1
+                w.close_block_write()
+            w.set_eod()
+            w.unlock_write()
+        totals = [q.get(timeout=30) for _ in readers]
+        assert totals == [sum(range(1, 10))] * 2
+    finally:
+        for p in readers:
+            p.join(timeout=30)
+            assert p.exitcode == 0
+
+
 def test_observability_counters(key):
     rb.create(key, bufsz=64, nbufs=4)
     with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:

@@ -9,18 +9,36 @@ ENV = dict(os.environ, JAX_PLATFORMS="cpu",
            PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_soak_sustained_rate(tmp_path):
-    """3 s paced stream through capture -> ring -> compute: no loss, all
-    blocks delivered on schedule."""
+def _run_soak(args, tmp_path, timeout=180):
     r = subprocess.run(
         [sys.executable, "-m", "paf_baseband2power_tpu.cli.paf_soak",
-         "--seconds", "3", "--rate", "0.05", "--port-base", "29500",
-         "-k", str(tmp_path)],
-        env=ENV, capture_output=True, text=True, timeout=180)
+         *args, "-k", str(tmp_path)],
+        env=ENV, capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, r.stdout + r.stderr
-    report = json.loads(r.stdout.strip().splitlines()[-1])
-    assert report["pass"]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_soak_realtime_native_sender(tmp_path):
+    """Rate 1.0: the C++ sendmmsg sender streams at the true frame cadence
+    through capture -> ring -> compute. Geometry is scaled so the 2-core CI
+    host's quit window (2*ndf frames, capture.c:491-509) tolerates XLA/GIL
+    scheduling stalls; the wire rate per chunk is the real one."""
+    report = _run_soak(
+        ["--seconds", "3", "--rate", "1.0", "--ndf", "512", "--nchk", "2",
+         "--nports", "1", "--nblk", "8", "--port-base", "29500"], tmp_path)
+    assert report["sender"] == "native"
+    assert report["pass"], report
     assert report["loss"] <= 0.05
     assert report["blocks_computed"] >= report["expected_blocks"] - 1
     # stream held its schedule within 10%
     assert report["stream_elapsed"] < 3.0 * 1.1
+
+
+def test_soak_python_sender(tmp_path):
+    """The Python fallback sender still drives the topology (low rate)."""
+    report = _run_soak(
+        ["--seconds", "3", "--rate", "0.05", "--sender", "py",
+         "--port-base", "29520"], tmp_path)
+    assert report["pass"], report
+    assert report["loss"] <= 0.05
+    assert report["blocks_computed"] >= report["expected_blocks"] - 1
