@@ -88,6 +88,44 @@ def make_multibeam_power_step(mesh, mean: bool = False):
     return jax.jit(step)
 
 
+def make_multibeam_power_step_2d(mesh, mean: bool = False):
+    """Multi-beam power step on the production 2-D-per-beam layout.
+
+    Input: int16 blocks of shape ``(nbeam, ndf, nchk * 3584)`` sharded
+    ``P(beam, time, chunk)`` — per-beam blocks exactly as ring buffers and
+    the capture engine deliver them, stacked. The 6-D unpack happens on the
+    reduced partials *inside* the jitted program (a 6-D device operand at a
+    call boundary costs a full-block relayout copy, ops/pallas_power.py).
+    Output: ``(nbeam, nchk * 7)`` float32 sharded ``P(beam, chunk)``.
+    """
+    from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(BEAM_AXIS, CHUNK_AXIS),
+    )
+    def step(blocks):
+        nbeam_l, ndf_l, lanes_l = blocks.shape
+        nchk_l = lanes_l // (DT_SIZE // 2)
+        x = blocks.astype(jnp.float32)
+        partial = jnp.sum(x * x, axis=1)               # (nbeam_l, lanes_l)
+        power = (
+            partial.reshape(nbeam_l, nchk_l, NSAMP_DF, NCHAN_CHK,
+                            NPOL_SAMP * NDIM_POL)
+            .sum(axis=(2, 4))
+            .reshape(nbeam_l, nchk_l * NCHAN_CHK)
+        )
+        total = jax.lax.psum(power, TIME_AXIS)
+        if mean:
+            ndf = ndf_l * jax.lax.psum(1, TIME_AXIS)
+            total = total / (ndf * NSAMP_DF * NPOL_SAMP)
+        return total
+
+    return jax.jit(step)
+
+
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
                           window: str = "hamming", mean: bool = False,
                           shift: bool = True):

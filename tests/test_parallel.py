@@ -136,6 +136,32 @@ def test_multibeam_power_parity():
         np.testing.assert_allclose(out[b], want, rtol=1e-5)
 
 
+def test_multibeam_power_2d_parity():
+    """2-D-per-beam step (the production layout): per-beam golden parity."""
+    nbeam = 2
+    blocks = np.stack([
+        F.synthetic_block(rng=70 + b, ndf=16, nchk=8) for b in range(nbeam)
+    ])
+    mesh = M.make_beam_mesh(n_beam=2, n_time=2, n_chunk=2)
+    step = S.make_multibeam_power_step_2d(mesh)
+    stacked = blocks.reshape(nbeam, 16, -1)  # (beam, ndf, lanes)
+    sharded = jax.device_put(
+        jnp.asarray(stacked),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(
+                M.BEAM_AXIS, M.TIME_AXIS, M.CHUNK_AXIS)))
+    out = np.asarray(step(sharded))
+    assert out.shape == (nbeam, 8 * C.NCHAN_CHK)
+    for b in range(nbeam):
+        np.testing.assert_allclose(
+            out[b], baseband2power_golden(blocks[b]), rtol=1e-5)
+    # mean mode normalizes by the global frame count across time shards
+    step_m = S.make_multibeam_power_step_2d(mesh, mean=True)
+    out_m = np.asarray(step_m(sharded))
+    np.testing.assert_allclose(
+        out_m[0], baseband2power_golden(blocks[0], mean=True), rtol=1e-5)
+
+
 def test_beam_mesh_validation():
     with pytest.raises(ValueError):
         M.make_beam_mesh(n_beam=3, n_time=2, n_chunk=2)
