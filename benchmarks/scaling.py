@@ -7,10 +7,16 @@ efficiency vs the 1-device baseline — the BASELINE.json "scaling eff.
 
 On this single-chip environment the multi-device points run on a virtual
 CPU mesh (functional; the wall-clock numbers are meaningful relative to the
-1-CPU-device point, not to the TPU). On a real pod, run unmodified:
-devices are whatever `jax.devices()` reports after `init_distributed()`.
+1-CPU-device point, not to the TPU). On an oversubscribed virtual mesh the
+classic per-device efficiency is meaningless (N virtual devices share the
+same cores), so the report also carries ``total_throughput_ratio`` =
+sps(N)/sps(1): its ideal is ~1.0 there (sharding and collectives add no
+overhead), and on real hardware it equals N x weak-scaling efficiency.
+On a real pod, run unmodified: devices are whatever `jax.devices()`
+reports after `init_distributed()`.
 
 Usage: python benchmarks/scaling.py [--ndf-per-dev 512] [--iters 5]
+       [--out results.json]
 """
 
 from __future__ import annotations
@@ -55,6 +61,7 @@ def main():
                     help="force the CPU backend (use with "
                     "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                     "for a virtual mesh)")
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -70,10 +77,22 @@ def main():
         mesh = M.make_mesh(n_time=n, devices=jax.devices()[:n])
         sps = measure(mesh, args.ndf_per_dev, args.iters)
         base = base or sps
-        eff = sps / (base * n)
         results.append({"devices": n, "samples_per_sec": sps,
-                        "weak_scaling_eff": eff})
+                        "weak_scaling_eff": sps / (base * n),
+                        "total_throughput_ratio": sps / base})
         print(json.dumps(results[-1]))
+    if args.out:
+        import os
+
+        report = {
+            "backend": jax.default_backend(),
+            "physical_cores": len(os.sched_getaffinity(0)),
+            "virtual_mesh": jax.default_backend() == "cpu",
+            "ndf_per_device": args.ndf_per_dev,
+            "points": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
     return 0
 
 

@@ -1,0 +1,129 @@
+"""Multi-host runtime tests: real 2-process (DCN-style) execution on CPU.
+
+Two OS processes, 4 virtual devices each, form one 8-device SPMD program
+via jax.distributed — the reference's share-nothing per-node deployment
+(capture.c:570-584) re-expressed as a single global-mesh pipeline. Output
+must match the single-process golden model bit-for-tolerance.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.ops.frame import synthetic_block
+from paf_baseband2power_tpu.ops.golden import baseband2power_golden
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_tcp_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(rank: int, nprocs: int, port: int, args, tmp_path):
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PAFB2P_COORDINATOR=f"localhost:{port}",
+        PAFB2P_NUM_PROCS=str(nprocs),
+        PAFB2P_PROC_ID=str(rank),
+    )
+    return subprocess.Popen(
+        [sys.executable, "-m", "paf_baseband2power_tpu.cli.paf_multihost",
+         *args, "-c", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _run_two_procs(args, tmp_path, timeout=240):
+    port = _free_tcp_port()
+    procs = [_launch(r, 2, port, args, tmp_path) for r in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"rc={rc}\n{out}\n{err}"
+    return outs
+
+
+def _read_power(path, nchan):
+    from paf_baseband2power_tpu.io.dada import DadaFileReader
+
+    r = DadaFileReader(path)
+    recs = [np.frombuffer(b, "<f4") for b in r.blocks(nchan * 4)]
+    r.close()
+    return recs
+
+
+NDF, NCHK, NBLOCKS = 64, 8, 3
+NCHAN = NCHK * C.NCHAN_CHK
+
+
+def _golden(beam, i):
+    return baseband2power_golden(
+        synthetic_block(rng=1000 * beam + i, ndf=NDF, nchk=NCHK))
+
+
+def test_two_process_time_sharded(tmp_path):
+    """nbeam=1: the host boundary lands on the time axis — each process
+    feeds half of every block's frames; psum crosses processes."""
+    out = str(tmp_path / "power.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "1",
+                    "--ndf", str(NDF), "--nchk", str(NCHK)], tmp_path)
+    recs = _read_power(out, NCHAN)
+    assert len(recs) == NBLOCKS
+    for i, rec in enumerate(recs):
+        np.testing.assert_allclose(rec, _golden(0, i), rtol=1e-5)
+
+
+def test_two_process_beam_sharded(tmp_path):
+    """nbeam=2: the host boundary lands on the beam axis — each process
+    owns one whole beam (the reference's per-node-per-beam deployment)."""
+    out = str(tmp_path / "power.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "2",
+                    "--ndf", str(NDF), "--nchk", str(NCHK)], tmp_path)
+    recs = _read_power(out, NCHAN)
+    assert len(recs) == NBLOCKS * 2  # per block: beam 0 then beam 1
+    for i in range(NBLOCKS):
+        for b in range(2):
+            np.testing.assert_allclose(
+                recs[2 * i + b], _golden(b, i), rtol=1e-5,
+                err_msg=f"block {i} beam {b}")
+
+
+def test_single_process_runner():
+    """The same runner degrades to single-process (8 local devices)."""
+    from paf_baseband2power_tpu.runtime.multihost import (
+        MultihostRunner, synthetic_local_source)
+    from paf_baseband2power_tpu.runtime.pipeline import MemorySink
+
+    runner = MultihostRunner(nbeam_total=2, ndf=NDF, nchk=NCHK)
+    assert runner.local_shape[0] == 2  # owns both beams
+    sink = MemorySink()
+    stats = runner.run(synthetic_local_source(runner, 2), sink)
+    assert stats.nblocks == 2
+    assert len(sink.records) == 4
+    np.testing.assert_allclose(sink.records[0], _golden(0, 0), rtol=1e-5)
+    np.testing.assert_allclose(sink.records[1], _golden(1, 0), rtol=1e-5)
+
+
+def test_local_shape_validation():
+    from paf_baseband2power_tpu.runtime.multihost import MultihostRunner
+
+    runner = MultihostRunner(nbeam_total=1, ndf=NDF, nchk=NCHK)
+    with pytest.raises(ValueError):
+        runner.assemble(np.zeros((1, NDF // 2, 8), np.int16))
