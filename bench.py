@@ -56,6 +56,82 @@ def get_step(impl: str):
     return baseband2power_2d, "xla"
 
 
+def bench_h2d(ndf: int, iters: int) -> dict:
+    """Measure device_put of a full host block (the reference's 2.8 GB
+    H2D stage per integration, SURVEY.md section 3.2). The bar is the
+    capture-side line rate: 3.19 GB/s sustained (capture.h:28,30)."""
+    from paf_baseband2power_tpu import constants as C
+    from paf_baseband2power_tpu.ops.pallas_power import LANES_PER_CHUNK
+
+    shape = (ndf, C.NCHK_NIC * LANES_PER_CHUNK)
+    host = np.random.default_rng(0).integers(
+        -256, 256, size=shape, dtype=np.int16)
+    nbytes = host.nbytes
+    # warm the transfer path / allocator
+    jax.device_put(host).block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.device_put(host).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "metric": "H2D bytes/s (full 2-D block device_put)",
+        "value": nbytes / dt,
+        "unit": "bytes/s",
+        "block_bytes": nbytes,
+        "block_sec": dt,
+        "vs_baseline": (nbytes / dt) / 3.19e9,
+    }
+
+
+def bench_e2e(ndf: int, iters: int, depth: int = 2) -> dict:
+    """Pipelined end-to-end block loop: host source -> device_put ->
+    power kernel -> fetch, `depth` blocks in flight (the PowerPipeline
+    discipline). The bar is real time: one 0.884736 s integration per
+    block (README.md:2); vs_baseline = stream-time / wall-time."""
+    import collections
+
+    from paf_baseband2power_tpu import constants as C
+    from paf_baseband2power_tpu.ops.pallas_power import LANES_PER_CHUNK
+
+    step, _ = get_step("auto")
+    shape = (ndf, C.NCHK_NIC * LANES_PER_CHUNK)
+    rng = np.random.default_rng(0)
+    # a few distinct host blocks so neither transfers nor kernels can cache
+    hosts = [rng.integers(-256, 256, size=shape, dtype=np.int16)
+             for _ in range(min(3, iters))]
+    np.asarray(step(jax.device_put(hosts[0])))  # compile + warm
+
+    def run(n: int) -> float:
+        inflight = collections.deque()
+        t0 = time.perf_counter()
+        for i in range(n):
+            inflight.append(step(jax.device_put(hosts[i % len(hosts)])))
+            if len(inflight) > depth:
+                np.asarray(inflight.popleft())
+        while inflight:
+            np.asarray(inflight.popleft())
+        return time.perf_counter() - t0
+
+    n1 = max(2, iters // 3)
+    n2 = 3 * n1
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    dt = (t2 - t1) / (n2 - n1)
+    stream_sec = ndf * C.TDF_SEC
+    return {
+        "metric": "end-to-end realtime multiple "
+                  "(host->H2D->kernel->fetch, pipelined)",
+        "value": stream_sec / dt,
+        "unit": "x realtime",
+        "block_sec": dt,
+        "block_stream_sec": stream_sec,
+        "depth": depth,
+        "vs_baseline": stream_sec / dt,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
@@ -64,7 +140,19 @@ def main():
                     help="reduced block for smoke testing")
     ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
                     help="benchmark the PFB channelizer path instead")
+    ap.add_argument("--h2d", action="store_true",
+                    help="measure host->device transfer of a full block")
+    ap.add_argument("--e2e", action="store_true",
+                    help="measure the pipelined source->H2D->kernel->fetch "
+                    "loop including transfers")
     args = ap.parse_args()
+
+    if args.h2d or args.e2e:
+        ndf = 256 if args.quick else C.NDF_BLK
+        iters = max(3, args.iters // 3) if args.h2d else args.iters
+        rep = bench_h2d(ndf, iters) if args.h2d else bench_e2e(ndf, args.iters)
+        print(json.dumps(rep))
+        return
 
     ndf = 256 if args.quick else C.NDF_BLK
     if args.pfb:
