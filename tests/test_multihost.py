@@ -105,6 +105,58 @@ def test_two_process_beam_sharded(tmp_path):
                 err_msg=f"block {i} beam {b}")
 
 
+def test_two_process_ring_fed(tmp_path):
+    """Production topology: each host feeds its slice from a LOCAL ring
+    buffer (the capture engine's output) into the global SPMD program —
+    ring -> make_array_from_process_local_data -> psum across processes."""
+    import uuid
+
+    from paf_baseband2power_tpu.io import ringbuffer as rb
+    from paf_baseband2power_tpu.io.dada import baseband_header
+
+    ndf_local = NDF // 2  # nbeam=1, 2 procs -> host boundary on time
+    keys = [uuid.uuid4().hex[:8] for _ in range(2)]
+    try:
+        for rank, key in enumerate(keys):
+            rb.create(key, ndf_local * NCHK * C.DT_SIZE, NBLOCKS + 1)
+            ring = rb.RingBuffer(key)
+            ring.lock_write()
+            ring.write_header(baseband_header(nchan=NCHK * C.NCHAN_CHK))
+            f0 = rank * ndf_local
+            for i in range(NBLOCKS):
+                blk = synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
+                local = blk.reshape(NDF, -1)[f0:f0 + ndf_local]
+                view = ring.open_block_write()
+                view[:] = np.frombuffer(local.tobytes(), np.uint8)
+                ring.close_block_write()
+            ring.set_eod()
+            ring.unlock_write()
+            ring.disconnect()
+
+        out = str(tmp_path / "power.dada")
+        port = _free_tcp_port()
+        procs = [
+            _launch(r, 2, port,
+                    ["-a", f"ring:{keys[r]}", "--nbeam", "1",
+                     "--ndf", str(NDF), "--nchk", str(NCHK),
+                     *(["-b", out] if r == 0 else [])], tmp_path)
+            for r in range(2)
+        ]
+        for p in procs:
+            o, e = p.communicate(timeout=240)
+            assert p.returncode == 0, f"{o}\n{e}"
+        recs = _read_power(out, NCHAN)
+        assert len(recs) == NBLOCKS
+        for i, rec in enumerate(recs):
+            want = baseband2power_golden(
+                synthetic_block(rng=i, ndf=NDF, nchk=NCHK))
+            np.testing.assert_allclose(rec, want, rtol=1e-5)
+    finally:
+        for key in keys:
+            if rb.exists(key):
+                rb.destroy(key)
+
+
 def test_single_process_runner():
     """The same runner degrades to single-process (8 local devices)."""
     from paf_baseband2power_tpu.runtime.multihost import (
