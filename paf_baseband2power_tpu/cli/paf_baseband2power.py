@@ -48,6 +48,9 @@ def main(argv=None) -> int:
                     help="frequency chunks")
     ap.add_argument("--mean", action="store_true",
                     help="average instead of sum over the window")
+    ap.add_argument("--stokes", action="store_true",
+                    help="full-Stokes detection (I,Q,U,V per channel; "
+                    "NPOL 4 records) instead of total power")
     ap.add_argument("--depth", type=int, default=2,
                     help="blocks in flight (ring NBLK analogue)")
     ap.add_argument("--fetch-every", type=int, default=1,
@@ -125,6 +128,10 @@ def main(argv=None) -> int:
         hdr["PFB_NFFT"] = str(args.pfb)
         hdr["PFB_NTAP"] = str(args.ntap)
         hdr["PFB_WINDOW"] = args.window
+    if args.stokes:
+        # full-Stokes records: 4 x nchan float32 per block, I/Q/U/V rows
+        hdr["NPOL"] = "4"
+        hdr["STOKES"] = "IQUV"
     if looks_like_ring_key(args.output):
         from ..io.ringbuffer import RingSink
 
@@ -139,7 +146,7 @@ def main(argv=None) -> int:
     pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir,
                          pfb_nfft=args.pfb, pfb_ntap=args.ntap,
                          pfb_window=args.window,
-                         fetch_every=args.fetch_every)
+                         fetch_every=args.fetch_every, stokes=args.stokes)
     if not args.no_warmup:
         pipe.warmup(args.ndf, args.nchk)
     with profile_trace(args.profile):

@@ -51,8 +51,53 @@ def baseband2power_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
     return power.reshape(nchk * nchan_chk).astype(np.float32)
 
 
+def baseband2stokes_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
+    """Full-Stokes detection in float64 (capability extension).
+
+    The reference's output is total power only (NPOL 1); with both
+    polarizations on the wire the full Stokes set costs the same HBM pass,
+    so the framework offers it as a mode. Definitions (x = pol 0, y = pol 1
+    complex voltages; PSR/IEEE convention):
+
+        I = <|x|^2 + |y|^2>      Q = <|x|^2 - |y|^2>
+        U = 2 Re<x y*>           V = 2 Im<x y*>
+
+    Returns float32 of shape ``(4, nchk * nchan_chk)``, ordered I, Q, U, V.
+    ``stokes[0]`` equals :func:`baseband2power_golden` exactly in sum mode
+    (``mean=True`` here averages over samples only, the Stokes convention,
+    not over samples*pols).
+    """
+    if block.ndim != len(BLOCK_SHAPE):
+        raise ValueError(f"expected {len(BLOCK_SHAPE)}-d block, got {block.shape}")
+    ndf, nchk, nsamp, nchan_chk, npol, ndim = block.shape
+    if npol != 2 or ndim != 2:
+        raise ValueError("Stokes needs 2 pols x 2 dims")
+    v = block.astype(np.float64)
+    x = v[..., 0, 0] + 1j * v[..., 0, 1]      # (ndf, nchk, nsamp, nchan)
+    y = v[..., 1, 0] + 1j * v[..., 1, 1]
+    xx = np.einsum("fcsk,fcsk->ck", x.real, x.real, optimize=True) + \
+        np.einsum("fcsk,fcsk->ck", x.imag, x.imag, optimize=True)
+    yy = np.einsum("fcsk,fcsk->ck", y.real, y.real, optimize=True) + \
+        np.einsum("fcsk,fcsk->ck", y.imag, y.imag, optimize=True)
+    xy = np.einsum("fcsk,fcsk->ck", x, np.conj(y), optimize=True)
+    stokes = np.stack([
+        xx + yy,
+        xx - yy,
+        2.0 * xy.real,
+        2.0 * xy.imag,
+    ])
+    if mean:
+        stokes = stokes / (ndf * nsamp)
+    return stokes.reshape(4, nchk * nchan_chk).astype(np.float32)
+
+
 def expected_output_nbytes(nchk: int = NCHK_NIC) -> int:
     return nchk * NCHAN_CHK * 4
 
 
-__all__ = ["baseband2power_golden", "expected_output_nbytes", "NCHAN"]
+__all__ = [
+    "baseband2power_golden",
+    "baseband2stokes_golden",
+    "expected_output_nbytes",
+    "NCHAN",
+]

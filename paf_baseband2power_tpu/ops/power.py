@@ -119,6 +119,41 @@ def baseband2power_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
     return power
 
 
+@functools.partial(jax.jit, static_argnames=("mean",))
+def baseband2stokes_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
+    """Full-Stokes detection on the 2-D device layout (capability
+    extension; definitions in ``ops.golden.baseband2stokes_golden``).
+
+    Same single pass over HBM as the power path — the extra Stokes
+    parameters are elementwise products XLA fuses into the load. The big
+    reduce runs over the frame axis on (lanes/4)-wide complex groups; the
+    sample fold happens on the reduced partials only. Output ``(4, nchan)``
+    float32, ordered I, Q, U, V; row 0 equals ``baseband2power_2d`` (sum
+    mode).
+    """
+    ndf, lanes = block2d.shape
+    if lanes % (DT_SIZE // 2):
+        raise ValueError(f"lane dim {lanes} not a multiple of {DT_SIZE // 2}")
+    nchk = lanes // (DT_SIZE // 2)
+    # lanes order within a chunk: [nsamp, nchan, pol, dim]
+    v = block2d.reshape(ndf, lanes // 4, 2, 2).astype(jnp.float32)
+    xr, xi = v[..., 0, 0], v[..., 0, 1]
+    yr, yi = v[..., 1, 0], v[..., 1, 1]
+    xx = jnp.sum(xr * xr + xi * xi, axis=0)          # (groups,)
+    yy = jnp.sum(yr * yr + yi * yi, axis=0)
+    re = jnp.sum(xr * yr + xi * yi, axis=0)          # Re(x y*)
+    im = jnp.sum(xi * yr - xr * yi, axis=0)          # Im(x y*)
+    partial = jnp.stack([xx + yy, xx - yy, 2 * re, 2 * im])
+    stokes = (
+        partial.reshape(4, nchk, NSAMP_DF, NCHAN_CHK)
+        .sum(axis=2)
+        .reshape(4, nchk * NCHAN_CHK)
+    )
+    if mean:
+        stokes = stokes / (ndf * NSAMP_DF)
+    return stokes
+
+
 def power_step(block: jax.Array) -> jax.Array:
     """The flagship single-chip forward step (jittable, donate-friendly)."""
     if block.ndim == 2:

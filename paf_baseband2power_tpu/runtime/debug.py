@@ -40,20 +40,24 @@ class PowerCheckError(RuntimeError):
     pass
 
 
-def check_power(power: np.ndarray, block_index: int = -1) -> None:
+def check_power(power: np.ndarray, block_index: int = -1,
+                signed: bool = False) -> None:
     """Validate a detected power vector: finite, non-negative.
 
     int16 |x|^2 sums are mathematically >= 0 and bounded by
     nsamp * npol * ndim * 32768^2 < 2^52, so NaN/inf/negative values can
     only come from corrupted input or a kernel defect — the class of error
     the reference's CudaSafeCall layer existed to surface early.
+
+    ``signed=True`` (Stokes records: Q/U/V are legitimately negative)
+    checks finiteness only.
     """
     power = np.asarray(power)
     if not np.isfinite(power).all():
         bad = int(np.count_nonzero(~np.isfinite(power)))
         raise PowerCheckError(
             f"block {block_index}: {bad} non-finite power values")
-    if (power < 0).any():
+    if not signed and (power < 0).any():
         bad = int(np.count_nonzero(power < 0))
         raise PowerCheckError(
             f"block {block_index}: {bad} negative power values")

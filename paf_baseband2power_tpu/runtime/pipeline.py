@@ -140,11 +140,20 @@ class PowerPipeline:
                  depth: int = 2, name: str = "baseband2power",
                  log_dir: str | None = None, pfb_nfft: int = 0,
                  pfb_ntap: int = 4, pfb_window: str = "hamming",
-                 fetch_every: int = 1):
+                 fetch_every: int = 1, stokes: bool = False):
         self._stateful = bool(pfb_nfft)
+        self._signed = stokes  # Q/U/V records are legitimately negative
         if power_fn is None:
+            if pfb_nfft and stokes:
+                raise ValueError("stokes mode and the PFB are exclusive")
             if pfb_nfft:
                 power_fn = self._pfb_fn(mean, pfb_nfft, pfb_ntap, pfb_window)
+            elif stokes:
+                import functools
+
+                from ..ops.power import baseband2stokes_2d
+
+                power_fn = functools.partial(baseband2stokes_2d, mean=mean)
             else:
                 power_fn = self._default_power_fn(mean)
         self._power_fn = power_fn
@@ -243,7 +252,8 @@ class PowerPipeline:
             per_block = (now - t_block) / n
             for row in rows:
                 if debug.debug_enabled():
-                    debug.check_power(row, stats.nblocks)
+                    debug.check_power(row, stats.nblocks,
+                                      signed=self._signed)
                     self.log.info("block %d ok: sum=%.6g max=%.6g",
                                   stats.nblocks, row.sum(), row.max())
                 sink.write(row)
