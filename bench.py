@@ -140,6 +140,8 @@ def main():
                     help="reduced block for smoke testing")
     ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
                     help="benchmark the PFB channelizer path instead")
+    ap.add_argument("--stokes", action="store_true",
+                    help="benchmark the full-Stokes detection path instead")
     ap.add_argument("--h2d", action="store_true",
                     help="measure host->device transfer of a full block")
     ap.add_argument("--e2e", action="store_true",
@@ -155,7 +157,18 @@ def main():
         return
 
     ndf = 256 if args.quick else C.NDF_BLK
-    if args.pfb:
+    if args.stokes:
+        if jax.default_backend() == "tpu":
+            from paf_baseband2power_tpu.ops.pallas_power import (
+                baseband2stokes_pallas as step,
+            )
+            label = "stokes pallas"
+        else:
+            from paf_baseband2power_tpu.ops.power import (
+                baseband2stokes_2d as step,
+            )
+            label = "stokes xla"
+    elif args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 
         # chunk grouping auto-resolved: whole-block for the sliding-DFT

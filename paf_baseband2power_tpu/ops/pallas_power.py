@@ -130,3 +130,85 @@ def baseband2power_pallas_bytes(raw: jax.Array, ndf: int = NDF_BLK,
     pairs = raw.reshape(ndf, nchk * LANES_PER_CHUNK, 2)
     block2d = jax.lax.bitcast_convert_type(pairs, jnp.int16)
     return baseband2power_pallas(block2d, **kw)
+
+
+def _stokes_kernel(x_ref, o_ref):
+    """Fused full-Stokes detection tile.
+
+    Cross-polarization products are computed lane-parallel via lane rolls:
+    within every 4-lane group (xr, xi, yr, yi), roll(-2) aligns y under x
+    and roll(-1)/roll(-3) align the mixed re/im partners. Useful lanes
+    never cross a group boundary, so the rotate wraparound only lands in
+    lanes the final fold discards. Four (8, lt) accumulators ride in one
+    (32, lt) output ref — output traffic stays negligible vs the int16
+    stream.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    tdf = x_ref.shape[0]
+    x = x_ref[:].astype(jnp.float32)
+    # roll requires non-negative shifts: shift lt-k == np.roll(x, -k)
+    lt = x.shape[1]
+    r1 = pltpu.roll(x, lt - 1, 1)
+    r2 = pltpu.roll(x, lt - 2, 1)
+    r3 = pltpu.roll(x, lt - 3, 1)
+
+    def fold(v):
+        if tdf > 8:
+            v = jnp.sum(v.reshape(tdf // 8, 8, v.shape[1]), axis=0)
+        return v
+
+    o_ref[0:8, :] += fold(x * x)    # lanes 4k..4k+3: xr2, xi2, yr2, yi2
+    o_ref[8:16, :] += fold(x * r2)  # lane 4k: xr*yr; 4k+1: xi*yi
+    o_ref[16:24, :] += fold(x * r1)  # lane 4k+1: xi*yr
+    o_ref[24:32, :] += fold(x * r3)  # lane 4k:   xr*yi
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "interpret"))
+def baseband2stokes_pallas(block2d: jax.Array, mean: bool = False,
+                           interpret: bool = False) -> jax.Array:
+    """Full-Stokes detection of a 2-D device block -> (4, nchan) float32.
+
+    Same HBM-bound streaming structure as ``baseband2power_pallas``; the
+    XLA formulation of the cross products (``ops.power.baseband2stokes_2d``)
+    costs a strided-relayout pass that caps it at ~45 GB/s on v5e, while
+    this kernel keeps the int16 stream contiguous. Output rows I, Q, U, V
+    (definitions: ``ops.golden.baseband2stokes_golden``).
+    """
+    ndf, lanes = block2d.shape
+    if lanes % LANES_PER_CHUNK:
+        raise ValueError(f"lane dim {lanes} not a multiple of {LANES_PER_CHUNK}")
+    nchk = lanes // LANES_PER_CHUNK
+    tdf, nlt = _pick_tiles(ndf, lanes)
+    lt = lanes // nlt
+
+    part = pl.pallas_call(
+        _stokes_kernel,
+        grid=(nlt, ndf // tdf),
+        in_specs=[
+            pl.BlockSpec((tdf, lt), lambda l, t: (t, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, lt), lambda l, t: (0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((32, lanes), jnp.float32),
+        interpret=interpret,
+    )(block2d)
+
+    # tiny final fold in XLA: (4 accumulators, 8 rows, lanes) -> select the
+    # useful lanes per group and integrate over samples
+    g = part.reshape(4, 8, lanes).sum(axis=1)
+    g = g.reshape(4, nchk, 128, NCHAN_CHK, _FOLD).sum(axis=2)  # (4,chk,7,4)
+    xx = g[0, ..., 0] + g[0, ..., 1]
+    yy = g[0, ..., 2] + g[0, ..., 3]
+    re = g[1, ..., 0] + g[1, ..., 1]          # Re(x y*)
+    im = g[2, ..., 1] - g[3, ..., 0]          # Im(x y*) = xi*yr - xr*yi
+    stokes = jnp.stack([xx + yy, xx - yy, 2 * re, 2 * im])
+    stokes = stokes.reshape(4, nchk * NCHAN_CHK)
+    if mean:
+        stokes = stokes / (ndf * 128)
+    return stokes

@@ -151,9 +151,16 @@ class PowerPipeline:
             elif stokes:
                 import functools
 
-                from ..ops.power import baseband2stokes_2d
+                if jax.default_backend() == "tpu":
+                    from ..ops.pallas_power import baseband2stokes_pallas
 
-                power_fn = functools.partial(baseband2stokes_2d, mean=mean)
+                    power_fn = functools.partial(
+                        baseband2stokes_pallas, mean=mean)
+                else:
+                    from ..ops.power import baseband2stokes_2d
+
+                    power_fn = functools.partial(baseband2stokes_2d,
+                                                 mean=mean)
             else:
                 power_fn = self._default_power_fn(mean)
         self._power_fn = power_fn

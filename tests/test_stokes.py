@@ -37,6 +37,28 @@ def test_stokes_jax_golden_parity():
         got_m, baseband2stokes_golden(block, mean=True), rtol=1e-5, atol=1e-4)
 
 
+def test_stokes_pallas_golden_parity():
+    """Fused Pallas Stokes kernel (interpret mode on CPU) vs golden.
+
+    Q tolerance is cancellation-limited: xx - yy subtracts two O(NI)
+    f32 sums, so ~1e-4 relative is the f32 floor (the XLA path has the
+    same floor); I/U/V carry no cancellation and sit at ~1e-7.
+    """
+    from paf_baseband2power_tpu.ops.pallas_power import baseband2stokes_pallas
+
+    block = F.synthetic_block(rng=2, ndf=16, nchk=8)
+    want = baseband2stokes_golden(block)
+    got = np.asarray(baseband2stokes_pallas(
+        jnp.asarray(block.reshape(16, -1)), interpret=True))
+    assert got.shape == (4, NCHAN)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-2)
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-5)
+    got_m = np.asarray(baseband2stokes_pallas(
+        jnp.asarray(block.reshape(16, -1)), mean=True, interpret=True))
+    np.testing.assert_allclose(
+        got_m, baseband2stokes_golden(block, mean=True), rtol=5e-4, atol=1e-3)
+
+
 def test_stokes_polarization_physics():
     """Constructed polarization states land in the right parameters."""
     rng = np.random.default_rng(3)
