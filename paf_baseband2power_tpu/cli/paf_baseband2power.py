@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stokes", action="store_true",
                     help="full-Stokes detection (I,Q,U,V per channel; "
                     "NPOL 4 records) instead of total power")
+    ap.add_argument("--nspectra", type=int, default=1, metavar="N",
+                    help="output N spectra per block (sub-block "
+                    "integration; N must divide the block's frame count; "
+                    "default 1 = the reference's one integration per block)")
     ap.add_argument("--depth", type=int, default=2,
                     help="blocks in flight (ring NBLK analogue)")
     ap.add_argument("--fetch-every", type=int, default=1,
@@ -132,6 +136,10 @@ def main(argv=None) -> int:
         # full-Stokes records: 4 x nchan float32 per block, I/Q/U/V rows
         hdr["NPOL"] = "4"
         hdr["STOKES"] = "IQUV"
+    if args.nspectra > 1:
+        # finer output cadence: TSAMP shrinks by the sub-integration factor
+        hdr["TSAMP"] = str(float(hdr["TSAMP"]) / args.nspectra)
+        hdr["NSBLK"] = str(args.nspectra)
     if looks_like_ring_key(args.output):
         from ..io.ringbuffer import RingSink
 
@@ -146,7 +154,8 @@ def main(argv=None) -> int:
     pipe = PowerPipeline(mean=args.mean, depth=args.depth, log_dir=args.dir,
                          pfb_nfft=args.pfb, pfb_ntap=args.ntap,
                          pfb_window=args.window,
-                         fetch_every=args.fetch_every, stokes=args.stokes)
+                         fetch_every=args.fetch_every, stokes=args.stokes,
+                         nout=args.nspectra)
     if not args.no_warmup:
         pipe.warmup(args.ndf, args.nchk)
     with profile_trace(args.profile):

@@ -51,6 +51,30 @@ def baseband2power_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
     return power.reshape(nchk * nchan_chk).astype(np.float32)
 
 
+def baseband2power_scrunch_golden(block: np.ndarray, nout: int,
+                                  mean: bool = False) -> np.ndarray:
+    """Sub-block integration: ``nout`` spectra per block (float64 oracle).
+
+    Capability extension: the reference hard-codes one spectrum per block
+    (1024^2 samples); here the block's frames split into ``nout`` equal
+    windows, each integrated independently — e.g. nout=1024 gives 864 us
+    cadence from the same stream. ``nout=1`` row equals
+    :func:`baseband2power_golden`.
+
+    Returns float32 of shape ``(nout, nchk * nchan_chk)``.
+    """
+    ndf = block.shape[0]
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    x = block.astype(np.float64)
+    ndf_w = ndf // nout
+    xw = x.reshape((nout, ndf_w) + x.shape[1:])
+    power = np.einsum("wfcsknd,wfcsknd->wck", xw, xw, optimize=True)
+    if mean:
+        power = power / (ndf_w * block.shape[2] * block.shape[4])
+    return power.reshape(nout, -1).astype(np.float32)
+
+
 def baseband2stokes_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
     """Full-Stokes detection in float64 (capability extension).
 
@@ -97,6 +121,7 @@ def expected_output_nbytes(nchk: int = NCHK_NIC) -> int:
 
 __all__ = [
     "baseband2power_golden",
+    "baseband2power_scrunch_golden",
     "baseband2stokes_golden",
     "expected_output_nbytes",
     "NCHAN",

@@ -132,6 +132,110 @@ def baseband2power_pallas_bytes(raw: jax.Array, ndf: int = NDF_BLK,
     return baseband2power_pallas(block2d, **kw)
 
 
+def _make_scrunch_kernel(tiles_per_window: int, fold_rows: bool):
+    """``fold_rows``: reduce each window to ONE sublane row in-kernel,
+    packing 8 consecutive windows per (8, lt) output block (dynamic row
+    store). Costs some VPU occupancy on the add but divides partial-output
+    HBM traffic by 8 — the right trade once nout is large enough that the
+    (nout*8, lanes) partial rivals the input stream."""
+    tpw = tiles_per_window
+
+    def kernel(x_ref, o_ref):
+        t = pl.program_id(1)
+        tdf = x_ref.shape[0]
+        if fold_rows:
+            @pl.when(t % (8 * tpw) == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+            x = x_ref[:].astype(jnp.float32)
+            row = (t // tpw) % 8
+            s = jnp.sum(x * x, axis=0, keepdims=True)
+            o_ref[pl.ds(row, 1), :] += s
+        else:
+            @pl.when(t % tpw == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+            x = x_ref[:].astype(jnp.float32)
+            sq = x * x
+            if tdf > 8:
+                sq = jnp.sum(sq.reshape(tdf // 8, 8, x.shape[1]), axis=0)
+            if sq.shape[0] == o_ref.shape[0]:
+                o_ref[:] += sq
+            else:
+                # sub-8-frame windows: accumulate into the leading rows;
+                # the final fold ignores the zero tail
+                o_ref[0:sq.shape[0], :] += sq
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nout", "mean", "interpret"))
+def baseband2power_scrunch_pallas(block2d: jax.Array, nout: int,
+                                  mean: bool = False,
+                                  interpret: bool = False) -> jax.Array:
+    """Sub-block integration (``nout`` spectra per block) -> (nout, nchan).
+
+    Same streaming structure as ``baseband2power_pallas``; the grid's time
+    axis is split into ``nout`` windows, each owning its own (8, lanes)
+    accumulator row-group in the output ref (zeroed when the window's
+    first tile arrives). Extra output traffic is nout*32KB per lane tile —
+    negligible until nout reaches thousands.
+    """
+    ndf, lanes = block2d.shape
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    if lanes % LANES_PER_CHUNK:
+        raise ValueError(f"lane dim {lanes} not a multiple of {LANES_PER_CHUNK}")
+    nchk = lanes // LANES_PER_CHUNK
+    ndf_w = ndf // nout
+    if ndf_w % 8 == 0:
+        tdf, nlt = _pick_tiles(ndf_w, lanes)
+    else:
+        # tiny windows (< 8 frames): one input tile per window
+        tdf, nlt = ndf_w, 1
+        while (
+            tdf * (lanes // nlt) * 2 > 2 ** 21
+            and lanes % (nlt * 2) == 0
+            and (lanes // (nlt * 2)) % 128 == 0
+        ):
+            nlt *= 2
+    lt = lanes // nlt
+    tpw = ndf_w // tdf
+    # fold when the (nout*8, lanes) partial would rival the input stream
+    # (Mosaic wants 8-divisible output sublanes, so the fold packs 8
+    # windows per block and needs 8 | nout)
+    fold_rows = nout >= 64 and nout % 8 == 0
+
+    rows = 1 if fold_rows else 8
+    tiles_per_block = tpw * (8 if fold_rows else 1)
+    part = pl.pallas_call(
+        _make_scrunch_kernel(tpw, fold_rows),
+        grid=(nlt, ndf // tdf),
+        in_specs=[
+            pl.BlockSpec((tdf, lt), lambda l, t: (t, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, lt),
+            lambda l, t, tpb=tiles_per_block: (t // tpb, l),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nout * rows, lanes), jnp.float32),
+        interpret=interpret,
+    )(block2d)
+
+    power = (
+        part.reshape(nout, rows, lanes).sum(axis=1)
+        .reshape(nout, nchk, 128, NCHAN_CHK, _FOLD)
+        .sum(axis=(2, 4))
+        .reshape(nout, nchk * NCHAN_CHK)
+    )
+    if mean:
+        power = power / (ndf_w * 128 * 2)
+    return power
+
+
 def _stokes_kernel(x_ref, o_ref):
     """Fused full-Stokes detection tile.
 

@@ -119,6 +119,35 @@ def baseband2power_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
     return power
 
 
+@functools.partial(jax.jit, static_argnames=("nout", "mean"))
+def baseband2power_scrunch_2d(block2d: jax.Array, nout: int,
+                              mean: bool = False) -> jax.Array:
+    """Sub-block integration on the 2-D layout: ``(nout, nchan)`` float32.
+
+    The frame axis splits into ``nout`` windows integrated independently
+    (oracle: ``ops.golden.baseband2power_scrunch_golden``); still one fused
+    pass over HBM — the reduce just keeps a window axis.
+    """
+    ndf, lanes = block2d.shape
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    if lanes % (DT_SIZE // 2):
+        raise ValueError(f"lane dim {lanes} not a multiple of {DT_SIZE // 2}")
+    nchk = lanes // (DT_SIZE // 2)
+    ndf_w = ndf // nout
+    x = block2d.reshape(nout, ndf_w, lanes).astype(jnp.float32)
+    partial = jnp.sum(x * x, axis=1)                 # (nout, lanes)
+    power = (
+        partial.reshape(nout, nchk, NSAMP_DF, NCHAN_CHK,
+                        NPOL_SAMP * NDIM_POL)
+        .sum(axis=(2, 4))
+        .reshape(nout, nchk * NCHAN_CHK)
+    )
+    if mean:
+        power = power / (ndf_w * NSAMP_DF * NPOL_SAMP)
+    return power
+
+
 @functools.partial(jax.jit, static_argnames=("mean",))
 def baseband2stokes_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
     """Full-Stokes detection on the 2-D device layout (capability

@@ -140,13 +140,29 @@ class PowerPipeline:
                  depth: int = 2, name: str = "baseband2power",
                  log_dir: str | None = None, pfb_nfft: int = 0,
                  pfb_ntap: int = 4, pfb_window: str = "hamming",
-                 fetch_every: int = 1, stokes: bool = False):
+                 fetch_every: int = 1, stokes: bool = False, nout: int = 1):
         self._stateful = bool(pfb_nfft)
         self._signed = stokes  # Q/U/V records are legitimately negative
         if power_fn is None:
-            if pfb_nfft and stokes:
-                raise ValueError("stokes mode and the PFB are exclusive")
-            if pfb_nfft:
+            if sum(map(bool, (pfb_nfft, stokes, nout > 1))) > 1:
+                raise ValueError(
+                    "stokes / PFB / sub-block integration are exclusive")
+            if nout > 1:
+                import functools
+
+                if jax.default_backend() == "tpu":
+                    from ..ops.pallas_power import (
+                        baseband2power_scrunch_pallas,
+                    )
+
+                    power_fn = functools.partial(
+                        baseband2power_scrunch_pallas, nout=nout, mean=mean)
+                else:
+                    from ..ops.power import baseband2power_scrunch_2d
+
+                    power_fn = functools.partial(
+                        baseband2power_scrunch_2d, nout=nout, mean=mean)
+            elif pfb_nfft:
                 power_fn = self._pfb_fn(mean, pfb_nfft, pfb_ntap, pfb_window)
             elif stokes:
                 import functools
