@@ -21,8 +21,9 @@ def snapshot(key: str) -> dict:
             "key": key,
             "bufsz": ring.bufsz,
             "nbufs": ring.nbufs,
+            "nreaders": ring.nreaders,
             "written": ring.blocks_written,
-            "read": ring.blocks_read,
+            "read": ring.blocks_read,  # slowest reader's progress
             "full": ring.blocks_full,
             "at_eod": ring.at_eod(),
         }
@@ -52,7 +53,7 @@ def main(argv=None) -> int:
             else:
                 print(f"{key}: {snap['full']}/{snap['nbufs']} blocks full, "
                       f"written={snap['written']} read={snap['read']} "
-                      f"bufsz={snap['bufsz']}"
+                      f"bufsz={snap['bufsz']} nreaders={snap['nreaders']}"
                       f"{' EOD' if snap['at_eod'] else ''}")
             if args.header:
                 with RingBuffer(key) as ring:
