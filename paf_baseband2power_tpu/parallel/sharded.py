@@ -126,6 +126,65 @@ def make_multibeam_power_step_2d(mesh, mean: bool = False):
     return jax.jit(step)
 
 
+def make_sharded_stokes_step(mesh, mean: bool = False):
+    """Multi-device full-Stokes step on the 2-D layout.
+
+    Input int16 ``(ndf, nchk*3584)`` sharded ``P(time, chunk)``; per-shard
+    partial Stokes psum over time (4 x nchan floats — still tiny). Output
+    ``(4, nchan)`` sharded over chunk. Definitions:
+    ``ops.golden.baseband2stokes_golden``.
+    """
+    from ..ops.power import baseband2stokes_2d
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(None, CHUNK_AXIS),
+    )
+    def step(block):
+        local = baseband2stokes_2d(block, mean=False)
+        total = jax.lax.psum(local, TIME_AXIS)
+        if mean:
+            from ..constants import NSAMP_DF
+
+            ndf = block.shape[0] * jax.lax.psum(1, TIME_AXIS)
+            total = total / (ndf * NSAMP_DF)
+        return total
+
+    return jax.jit(step)
+
+
+def make_sharded_scrunch_step(mesh, nout: int, mean: bool = False):
+    """Multi-device sub-block integration: ``nout`` spectra per block.
+
+    Requires the time shards to align with integration windows
+    (``n_time | nout``): each shard then owns whole windows and the step
+    needs NO collectives at all — the output's window axis is simply
+    sharded over ``time`` (alongside ``chunk``), the ideal layout for a
+    downstream time-frequency consumer. Output ``(nout, nchan)`` sharded
+    ``P(time, chunk)``.
+    """
+    from ..ops.power import baseband2power_scrunch_2d
+
+    n_time = mesh.shape[TIME_AXIS]
+    if nout % n_time:
+        raise ValueError(
+            f"nout={nout} must be a multiple of the time-shard count "
+            f"{n_time} (windows may not straddle shards)")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(TIME_AXIS, CHUNK_AXIS),
+    )
+    def step(block):
+        return baseband2power_scrunch_2d(block, nout // n_time, mean=mean)
+
+    return jax.jit(step)
+
+
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
                           window: str = "hamming", mean: bool = False,
                           shift: bool = True):

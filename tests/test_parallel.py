@@ -136,6 +136,44 @@ def test_multibeam_power_parity():
         np.testing.assert_allclose(out[b], want, rtol=1e-5)
 
 
+def test_sharded_stokes_parity():
+    """(time, chunk) mesh full-Stokes: psum'd partials match golden."""
+    from paf_baseband2power_tpu.ops.golden import baseband2stokes_golden
+
+    block = F.synthetic_block(rng=80, ndf=16, nchk=8)
+    mesh = M.make_mesh(n_time=4, n_chunk=2)
+    step = S.make_sharded_stokes_step(mesh)
+    x = jax.device_put(
+        jnp.asarray(block.reshape(16, -1)),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(M.TIME_AXIS, M.CHUNK_AXIS)))
+    out = np.asarray(step(x))
+    want = baseband2stokes_golden(block)
+    assert out.shape == (4, 8 * C.NCHAN_CHK)
+    np.testing.assert_allclose(out, want, rtol=5e-4, atol=1e-2)
+    np.testing.assert_allclose(out[0], want[0], rtol=1e-5)
+
+
+def test_sharded_scrunch_parity_and_alignment():
+    """Window-aligned time sharding needs zero collectives; misaligned
+    nout is rejected."""
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_scrunch_golden)
+
+    block = F.synthetic_block(rng=81, ndf=32, nchk=8)
+    mesh = M.make_mesh(n_time=4, n_chunk=2)
+    step = S.make_sharded_scrunch_step(mesh, nout=8)
+    x = jax.device_put(
+        jnp.asarray(block.reshape(32, -1)),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(M.TIME_AXIS, M.CHUNK_AXIS)))
+    out = np.asarray(step(x))
+    want = baseband2power_scrunch_golden(block, 8)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+    with pytest.raises(ValueError):
+        S.make_sharded_scrunch_step(mesh, nout=6)  # 4 shards !| 6 windows
+
+
 def test_multibeam_power_2d_parity():
     """2-D-per-beam step (the production layout): per-beam golden parity."""
     nbeam = 2
