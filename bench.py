@@ -142,6 +142,9 @@ def main():
                     help="benchmark the PFB channelizer path instead")
     ap.add_argument("--stokes", action="store_true",
                     help="benchmark the full-Stokes detection path instead")
+    ap.add_argument("--scrunch", type=int, default=0, metavar="NOUT",
+                    help="benchmark sub-block integration (NOUT spectra "
+                    "per block) instead")
     ap.add_argument("--h2d", action="store_true",
                     help="measure host->device transfer of a full block")
     ap.add_argument("--e2e", action="store_true",
@@ -168,6 +171,24 @@ def main():
                 baseband2stokes_2d as step,
             )
             label = "stokes xla"
+    elif args.scrunch:
+        nout = args.scrunch
+        if jax.default_backend() == "tpu":
+            from paf_baseband2power_tpu.ops.pallas_power import (
+                baseband2power_scrunch_pallas,
+            )
+            label = f"scrunch pallas nout={nout}"
+
+            def step(b):
+                return baseband2power_scrunch_pallas(b, nout)
+        else:
+            from paf_baseband2power_tpu.ops.power import (
+                baseband2power_scrunch_2d,
+            )
+            label = f"scrunch xla nout={nout}"
+
+            def step(b):
+                return baseband2power_scrunch_2d(b, nout)
     elif args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 

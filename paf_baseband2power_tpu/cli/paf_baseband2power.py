@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         freq=(in_header or {}).get("FREQ", "unset"),
         bw=(in_header or {}).get("BW", "unset"),
         nchan=nchan_out,
+        tint_sec=args.ndf * C.TDF_SEC,   # = TINT at the standard 8192
     )
     if args.pfb:
         hdr["PFB_NFFT"] = str(args.pfb)

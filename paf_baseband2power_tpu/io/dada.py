@@ -80,6 +80,7 @@ def output_header(
     nchan: int = NCHAN,
     source: str = "unset",
     extra: dict | None = None,
+    tint_sec: float | None = None,
 ) -> DadaHeader:
     """Build the power-output header (parity with the fields of
     ``header_baseband2power.txt:1-45``: NBIT 32 float, NDIM 1, NPOL 1,
@@ -89,8 +90,10 @@ def output_header(
     TSAMP is the integration time in microseconds (0.884736 s; the
     reference template's 88473.6 carries a known factor-10 typo — the
     README/block math value is authoritative, SURVEY.md section 0.1).
+    ``tint_sec`` overrides it for non-standard block geometries (reduced
+    ``--ndf`` test streams), keeping TSAMP = actual seconds per record.
     """
-    tsamp_us = float(TINT) * 1e6
+    tsamp_us = float(TINT if tint_sec is None else tint_sec) * 1e6
     hdr = DadaHeader(
         HEADER="DADA",
         HDR_VERSION="1.0",
@@ -113,7 +116,9 @@ def output_header(
         FREQ=str(freq),
         BW=str(bw),
         TSAMP=f"{tsamp_us:.6f}",
-        BYTES_PER_SECOND=f"{nchan * 4 / float(TINT):.6f}",
+        BYTES_PER_SECOND=(
+            f"{nchan * 4 / float(TINT if tint_sec is None else tint_sec):.6f}"
+        ),
         NBIT=str(OUT_NBIT),
         NDIM=str(OUT_NDIM),
         NPOL=str(OUT_NPOL),

@@ -132,6 +132,52 @@ def baseband2power_pallas_bytes(raw: jax.Array, ndf: int = NDF_BLK,
     return baseband2power_pallas(block2d, **kw)
 
 
+def _scrunch_fused_kernel(ndf_w: int):
+    """Small-window scrunch tile: whole windows per tile, fully fused.
+
+    Lane tiles are exactly one frequency chunk (3584 lanes), so the whole
+    reduction finishes in-kernel and each tile stores its own block once —
+    no read-modify-write, no zero-init, no big partial for XLA to re-read
+    (the (nout, lanes) f32 partial is 704 MB at nout=1024 and its strided
+    regroup alone cost ~5 ms, half the block time). Stages:
+
+      1. window sums: contiguous ``ndf_w``-row sublane groups;
+      2. pol/dim fold: two lane rolls sum each aligned 4-lane group;
+      3. sample fold: a cyclic roll tree at stride 28 — the orbit of
+         ``l + 28j (mod 3584)`` visits each of the 128 sample positions of
+         lane ``l``'s (channel, pol) class exactly once, so after
+         log2(128) doubling steps every lane holds its class's full sum;
+      4. compact: channel c's total sits at lane 4c of the (now
+         redundant) first 128 lanes; gather to lanes 0..6 and store
+         ``(wpt, 128)``.
+
+    Output HBM traffic is 128 f32 per window-chunk — negligible against
+    the int16 stream (vs 25% extra for a (nout, lanes) partial store).
+    """
+    def kernel(x_ref, o_ref):
+        tdf = x_ref.shape[0]
+        lt = x_ref.shape[1]             # == LANES_PER_CHUNK
+        x = x_ref[:].astype(jnp.float32)
+        sq = x * x
+        if ndf_w > 1:
+            sq = jnp.sum(sq.reshape(tdf // ndf_w, ndf_w, lt), axis=1)
+        v = sq + pltpu.roll(sq, lt - 1, 1)
+        v = v + pltpu.roll(v, lt - 2, 1)
+        d = _FOLD * NCHAN_CHK           # 28 lanes per sample
+        while d < lt:
+            v = v + pltpu.roll(v, lt - d, 1)
+            d *= 2
+        head = v[:, 0:128]
+        out = head
+        lane = jax.lax.broadcasted_iota(jnp.int32, head.shape, 1)
+        for c in range(1, NCHAN_CHK):
+            out = jnp.where(lane == c, pltpu.roll(head, 128 - 3 * c, 1),
+                            out)
+        o_ref[:] = out
+
+    return kernel
+
+
 def _make_scrunch_kernel(tiles_per_window: int, fold_rows: bool):
     """``fold_rows``: reduce each window to ONE sublane row in-kernel,
     packing 8 consecutive windows per (8, lt) output block (dynamic row
@@ -190,40 +236,72 @@ def baseband2power_scrunch_pallas(block2d: jax.Array, nout: int,
         raise ValueError(f"lane dim {lanes} not a multiple of {LANES_PER_CHUNK}")
     nchk = lanes // LANES_PER_CHUNK
     ndf_w = ndf // nout
-    if ndf_w % 8 == 0:
-        tdf, nlt = _pick_tiles(ndf_w, lanes)
-    else:
-        # tiny windows (< 8 frames): one input tile per window
-        tdf, nlt = ndf_w, 1
-        while (
-            tdf * (lanes // nlt) * 2 > 2 ** 21
-            and lanes % (nlt * 2) == 0
-            and (lanes // (nlt * 2)) % 128 == 0
-        ):
-            nlt *= 2
-    lt = lanes // nlt
-    tpw = ndf_w // tdf
-    # fold when the (nout*8, lanes) partial would rival the input stream
-    # (Mosaic wants 8-divisible output sublanes, so the fold packs 8
-    # windows per block and needs 8 | nout)
-    fold_rows = nout >= 64 and nout % 8 == 0
 
-    rows = 1 if fold_rows else 8
-    tiles_per_block = tpw * (8 if fold_rows else 1)
-    part = pl.pallas_call(
-        _make_scrunch_kernel(tpw, fold_rows),
-        grid=(nlt, ndf // tdf),
-        in_specs=[
-            pl.BlockSpec((tdf, lt), lambda l, t: (t, l),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (8, lt),
-            lambda l, t, tpb=tiles_per_block: (t // tpb, l),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nout * rows, lanes), jnp.float32),
-        interpret=interpret,
-    )(block2d)
+    # Small windows: whole windows per tile, pure store — measured 2.4x
+    # over the dynamic-row fold path at nout=1024 full geometry.
+    wpt = 0
+    if ndf_w <= 32:
+        for cand in (32, 16, 8):
+            if nout % cand == 0 and ndf_w * cand <= 256:
+                wpt = cand
+                break
+    if wpt:
+        tdf = wpt * ndf_w
+        part = pl.pallas_call(
+            _scrunch_fused_kernel(ndf_w),
+            grid=(nchk, ndf // tdf),
+            in_specs=[
+                pl.BlockSpec((tdf, LANES_PER_CHUNK), lambda l, t: (t, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((wpt, 128), lambda l, t: (t, l),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nout, nchk * 128),
+                                           jnp.float32),
+            interpret=interpret,
+        )(block2d)
+        power = (part.reshape(nout, nchk, 128)[:, :, :NCHAN_CHK]
+                 .reshape(nout, nchk * NCHAN_CHK))
+        if mean:
+            power = power / (ndf_w * 128 * 2)
+        return power
+    else:
+        if ndf_w % 8 == 0:
+            tdf, nlt = _pick_tiles(ndf_w, lanes)
+        else:
+            # tiny windows (< 8 frames) not divisible into store tiles:
+            # one input tile per window
+            tdf, nlt = ndf_w, 1
+            while (
+                tdf * (lanes // nlt) * 2 > 2 ** 21
+                and lanes % (nlt * 2) == 0
+                and (lanes // (nlt * 2)) % 128 == 0
+            ):
+                nlt *= 2
+        lt = lanes // nlt
+        tpw = ndf_w // tdf
+        # fold when the (nout*8, lanes) partial would rival the input
+        # stream (Mosaic wants 8-divisible output sublanes, so the fold
+        # packs 8 windows per block and needs 8 | nout)
+        fold_rows = nout >= 64 and nout % 8 == 0
+
+        rows = 1 if fold_rows else 8
+        tiles_per_block = tpw * (8 if fold_rows else 1)
+        part = pl.pallas_call(
+            _make_scrunch_kernel(tpw, fold_rows),
+            grid=(nlt, ndf // tdf),
+            in_specs=[
+                pl.BlockSpec((tdf, lt), lambda l, t: (t, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, lt),
+                lambda l, t, tpb=tiles_per_block: (t // tpb, l),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nout * rows, lanes),
+                                           jnp.float32),
+            interpret=interpret,
+        )(block2d)
 
     power = (
         part.reshape(nout, rows, lanes).sum(axis=1)
@@ -277,11 +355,22 @@ def baseband2stokes_pallas(block2d: jax.Array, mean: bool = False,
                            interpret: bool = False) -> jax.Array:
     """Full-Stokes detection of a 2-D device block -> (4, nchan) float32.
 
-    Same HBM-bound streaming structure as ``baseband2power_pallas``; the
-    XLA formulation of the cross products (``ops.power.baseband2stokes_2d``)
+    Same streaming structure as ``baseband2power_pallas``; the XLA
+    formulation of the cross products (``ops.power.baseband2stokes_2d``)
     costs a strided-relayout pass that caps it at ~45 GB/s on v5e, while
     this kernel keeps the int16 stream contiguous. Output rows I, Q, U, V
     (definitions: ``ops.golden.baseband2stokes_golden``).
+
+    Unlike the power kernel this one is VPU-issue-bound, not HBM-bound:
+    full Stokes needs ~11 vector ops per element (convert + 3 lane rolls +
+    4 products + per-bank time folds) vs ~3 for power, and v5e measures
+    ~380 GB/s vs the ~760 GB/s stream floor. Measured dead ends (r2,
+    probe study): 3-bank merged products 364, larger time tiles (tdf
+    128-256) 359-365, single-row in-kernel folds 339, MXU ones-dot time
+    folds 253-350 (an M=1 matmul stalls the pipeline), int16-input rolls
+    (Mosaic compile error). The op mix {rolls of lane distance 1,2,3 +
+    >=3 products} is irreducible for this layout, so ~380 GB/s (~112x
+    real time) is the kernel's speed of light on this generation.
     """
     ndf, lanes = block2d.shape
     if lanes % LANES_PER_CHUNK:

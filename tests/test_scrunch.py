@@ -54,14 +54,28 @@ def test_scrunch_xla_golden_parity(nout):
         rtol=1e-5)
 
 
-@pytest.mark.parametrize("nout", [1, 2, 4, 16, 32])
+@pytest.mark.parametrize("nout", [1, 2, 4, 8, 16, 32])
 def test_scrunch_pallas_golden_parity(nout):
-    """Covers the 8-row accumulator path (small nout) and the in-kernel
-    row fold (tiny sub-8-frame windows: nout=16 -> 2-frame tiles)."""
+    """Covers the 8-row accumulator path (small nout) and the pure-store
+    path (whole windows per tile: nout=8,16,32 here)."""
     block = F.synthetic_block(rng=3, ndf=NDF, nchk=NCHK)
     want = baseband2power_scrunch_golden(block, nout)
     got = np.asarray(baseband2power_scrunch_pallas(
         jnp.asarray(block.reshape(NDF, -1)), nout, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("nout", [16, 24, 64])
+def test_scrunch_pallas_store_path_8frame_windows(nout):
+    """Pure-store path on a taller block: 8-frame windows (nout=16,
+    wpt=16) and 2-frame windows (nout=64, wpt=32)."""
+    ndf = 128
+    if ndf % nout:
+        pytest.skip("nout must divide ndf")
+    block = F.synthetic_block(rng=5, ndf=ndf, nchk=NCHK)
+    want = baseband2power_scrunch_golden(block, nout)
+    got = np.asarray(baseband2power_scrunch_pallas(
+        jnp.asarray(block.reshape(ndf, -1)), nout, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
