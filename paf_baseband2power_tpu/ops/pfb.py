@@ -234,6 +234,34 @@ def pfb_sliding_mats(nfft: int, ntap: int = 4, window: str = "hamming",
     return mats.astype(np.float32)
 
 
+def pfb_sliding_fir_dft(nfft: int, ntap: int = 4, window: str = "hamming",
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Factored row-aligned PFB operators for ``nfft == 128``: the FIR as
+    per-tap lane-coefficient vectors, the DFT as one real-pair matmul.
+
+    ``pfb_sliding_mats`` bakes the FIR into the DFT operator, so the conv
+    form spends ``ntap * nfft`` MACs per complex sample on the MXU. When
+    windows tile rows exactly (``nfft == L``), the FIR is a plain
+    elementwise fold across ``ntap`` shifted rows — VPU work — and only the
+    ``nfft``-deep DFT contraction needs the MXU: 4x less matmul work at
+    ntap=4. Returns ``(cvecs (ntap, 2L), fmat (2L, 2L)) float32`` with
+    lanes in the ``[re(L) | im(L)]`` block layout of ``_block_to_rows``.
+    """
+    L = _SLIDE_LANES
+    if nfft != L:
+        raise ValueError(f"factored sliding form needs nfft == {L}")
+    c = pfb_coeffs(nfft, ntap, window, dtype=np.float64)    # (ntap, nfft)
+    cvecs = np.concatenate([c, c], axis=1)                  # re | im lanes
+    n = np.arange(nfft)
+    ph = np.exp(-2j * np.pi * np.outer(n, n) / nfft)        # (n, k)
+    fmat = np.zeros((2 * L, 2 * L), np.float64)
+    fmat[:L, :L] = ph.real
+    fmat[L:, :L] = -ph.imag
+    fmat[:L, L:] = ph.imag
+    fmat[L:, L:] = ph.real
+    return cvecs.astype(np.float32), fmat.astype(np.float32)
+
+
 def _block_to_rows(block: jax.Array) -> jax.Array:
     """6-D int16 block -> f32 sliding rows ``(nchk, 7, npol, ndf, 256)``.
 
@@ -252,7 +280,8 @@ def _block_to_rows(block: jax.Array) -> jax.Array:
 
 
 def _pfb_detect_sliding(xrows: jax.Array, mats: jax.Array, nfft: int,
-                        ntap: int, mean: bool) -> jax.Array:
+                        ntap: int, mean: bool,
+                        fir_dft=None) -> jax.Array:
     """Sliding-DFT channelize + detect -> (nchk, nchan_chk, nfft).
 
     ``xrows``: f32 ``(nchk, nchan_chk, npol, nrow, 2L)`` from
@@ -260,19 +289,39 @@ def _pfb_detect_sliding(xrows: jax.Array, mats: jax.Array, nfft: int,
     causal 1-D convolution (feature dim 2L -> 2L, kernel width D, zero
     future-padding), which XLA lowers to MXU matmuls that slide over rows
     in VMEM instead of materializing every shifted product.
+
+    ``fir_dft`` (``nfft == L`` only): factored ``(cvecs, fmat)`` operators
+    from ``pfb_sliding_fir_dft`` — the FIR fold runs as an elementwise sum
+    of ``ntap`` shifted rows (VPU, fused by XLA) and the MXU does only the
+    nfft-deep DFT matmul instead of the ntap*nfft-deep conv. Measured
+    gain is small (108 -> 100 ms per full block on v5e): this XLA
+    formulation is bound by its ~40 GB of materialized passes (rows, z,
+    y, epilogue), not the MXU — that is what the fused Pallas kernel in
+    ``ops/pallas_pfb.py`` removes.
     """
     L = _SLIDE_LANES
     nchk, nchan, npol, nrow, _ = xrows.shape
     g = L // nfft
-    d_count = mats.shape[0]
     nwin = nrow * g - (ntap - 1)
 
     lhs = xrows.reshape(nchk * nchan * npol, nrow, 2 * L)
-    y = jax.lax.conv_general_dilated(
-        lhs, mats,                                        # (D, 2L, 2L) = WIO
-        window_strides=(1,), padding=[(0, d_count - 1)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=_SLIDE_PRECISION)
+    if fir_dft is not None:
+        cvecs, fmat = fir_dft
+        # zero-pad the tail rows: the last ntap-1 windows read past the
+        # series end, matching the conv path's future-padding + mask
+        lhs_p = jnp.pad(lhs, ((0, 0), (0, ntap - 1), (0, 0)))
+        z = cvecs[0] * lhs
+        for t in range(1, ntap):
+            z = z + cvecs[t] * jax.lax.slice_in_dim(
+                lhs_p, t, t + nrow, axis=1)
+        y = jnp.matmul(z, fmat, precision=_SLIDE_PRECISION)
+    else:
+        d_count = mats.shape[0]
+        y = jax.lax.conv_general_dilated(
+            lhs, mats,                                    # (D, 2L, 2L) = WIO
+            window_strides=(1,), padding=[(0, d_count - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=_SLIDE_PRECISION)
     p = y * y
     p = p[..., :L] + p[..., L:]                           # |y|^2, (.,nrow,L)
     # zero-padded tail rows produce the ntap-1 windows past the series end
@@ -387,9 +436,16 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
         if _SLIDE_LANES % nfft == 0:
             # lane-aligned main pass; the (tiny, 128-unaligned) boundary
             # windows go through the generic stacked form
-            mats = jnp.asarray(pfb_sliding_mats(nfft, ntap, window))
+            fir_dft = None
+            if nfft == _SLIDE_LANES:
+                cvecs, fmat = pfb_sliding_fir_dft(nfft, ntap, window)
+                fir_dft = (jnp.asarray(cvecs), jnp.asarray(fmat))
+                mats = jnp.zeros((0, 0, 0), jnp.float32)  # unused
+            else:
+                mats = jnp.asarray(pfb_sliding_mats(nfft, ntap, window))
             detect = functools.partial(_pfb_detect_sliding, mats=mats,
-                                       nfft=nfft, ntap=ntap)
+                                       nfft=nfft, ntap=ntap,
+                                       fir_dft=fir_dft)
             boundary_detect = stacked
         else:
             detect = stacked
@@ -464,7 +520,19 @@ def make_streaming_pfb(nfft: int, ntap: int = 4,
     layout ``(ndf, nchk*3584) int16`` — the reshape happens inside the one
     jitted program, where XLA folds it into the unpack/transpose instead of
     materializing a relayout copy at a call boundary.
+
+    On a TPU backend with ``nfft == 128`` (the production fine-channelizer
+    size) the step delegates to the fused Pallas kernel
+    (``ops.pallas_pfb``), which also absorbs the boundary windows
+    in-kernel; pass ``method="fft"`` to force the XLA path.
     """
+    method = kw.get("method", "auto")
+    if (nfft == _SLIDE_LANES and method in ("auto", "matmul")
+            and jax.default_backend() == "tpu"):
+        from .pallas_pfb import make_streaming_pfb_fused
+
+        kw2 = {k: v for k, v in kw.items() if k != "method"}
+        return make_streaming_pfb_fused(nfft, ntap, **kw2)
 
     @jax.jit
     def step(block, history):

@@ -120,7 +120,7 @@ def test_chunk_grouped_matches_monolithic():
 
 
 @pytest.mark.parametrize("nfft,ntap", [(16, 4), (32, 4), (32, 8), (64, 3),
-                                       (128, 4), (256, 2)])
+                                       (128, 4), (128, 3), (256, 2)])
 def test_matmul_method_matches_golden(nfft, ntap):
     """MXU channelizer (sliding when 128%nfft==0, stacked otherwise)."""
     block = F.synthetic_block(rng=30, ndf=NDF, nchk=NCHK)
@@ -197,3 +197,61 @@ def test_default_chunk_groups():
     for nchk in (48, 24, 12, 7, 1):
         g = pfb.default_chunk_groups(1024, nchk)
         assert nchk % g == 0
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas PFB kernel (ops/pallas_pfb.py, nfft = 128)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ntap", [3, 4])
+def test_fused_pfb_golden_parity(ntap):
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_power_fused
+
+    block = F.synthetic_block(rng=40, ndf=32, nchk=NCHK)
+    got = np.asarray(pfb_power_fused(jnp.asarray(block), 128, ntap,
+                                     interpret=True))
+    want = pfb.pfb_power_golden(block, 128, ntap)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_fused_pfb_streaming_history_continuity():
+    """Two blocks with in-kernel history == one double block; the carry
+    matches the XLA path's edge-frame carry."""
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_power_fused
+
+    b1 = F.synthetic_block(rng=41, ndf=32, nchk=NCHK)
+    b2 = F.synthetic_block(rng=42, ndf=32, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    p1, h1 = pfb_power_fused(jnp.asarray(b1), interpret=True,
+                             return_history=True)
+    p2, h2 = pfb_power_fused(jnp.asarray(b2), history=h1, interpret=True,
+                             return_history=True)
+    total = np.asarray(p1) + np.asarray(p2)
+    want = pfb.pfb_power_golden(both, 128, 4)
+    np.testing.assert_allclose(total, want, rtol=2e-4)
+    ref = pfb.pfb_history(jnp.asarray(b2), 128, 4)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+
+
+def test_fused_pfb_agrees_with_xla_path():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_power_fused
+
+    block = F.synthetic_block(rng=43, ndf=32, nchk=NCHK)
+    a = np.asarray(pfb.pfb_power(jnp.asarray(block), 128, 4, mean=True))
+    b = np.asarray(pfb_power_fused(jnp.asarray(block), 128, 4, mean=True,
+                                   interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_fused_pfb_2d_block_and_validation():
+    from paf_baseband2power_tpu.ops import pallas_pfb
+
+    block = F.synthetic_block(rng=44, ndf=32, nchk=NCHK)
+    flat = jnp.asarray(block.reshape(32, -1))
+    a = np.asarray(pallas_pfb.pfb_power_fused(flat, interpret=True))
+    b = np.asarray(pallas_pfb.pfb_power_fused(jnp.asarray(block),
+                                              interpret=True))
+    np.testing.assert_allclose(a, b)
+    with pytest.raises(ValueError):
+        pallas_pfb.pfb_power_fused(jnp.asarray(block), nfft=64,
+                                   interpret=True)
