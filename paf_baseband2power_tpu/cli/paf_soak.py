@@ -31,6 +31,12 @@ def main(argv=None) -> int:
                     "stalls on core-starved hosts (NBLK analogue, "
                     "paf-baseband2power.conf:11)")
     ap.add_argument("--nports", type=int, default=2)
+    ap.add_argument("--tbuf", type=int, default=0,
+                    help="late-frame temp buffer depth in frames; 0 = "
+                    "ndf/4 clamped to [32, 256] (the reference's "
+                    "TBUF_NDF=256, capture.h:33 — at rate 1.0 each frame "
+                    "is 108 us, so this is the scheduling-stall slack "
+                    "before a force-switch drops a block tail)")
     ap.add_argument("--port-base", type=int, default=29100)
     ap.add_argument("--rate", type=float, default=1.0,
                     help="stream rate as a multiple of real time. Rates the "
@@ -83,7 +89,9 @@ def main(argv=None) -> int:
     conf = CaptureConf(
         ip="127.0.0.1", port_base=args.port_base, nports=args.nports,
         ring_key=key, ndf_blk=args.ndf, nchk=args.nchk, freq_base=1000.0,
-        chunk_bw=7.0, tbuf_ndf=min(args.ndf, 32), timeout_sec=2.0,
+        chunk_bw=7.0,
+        tbuf_ndf=args.tbuf or min(max(args.ndf // 4, 32), 256),
+        timeout_sec=2.0,
         ndf_check=args.nchk * 2, zero_blocks=True,
     )
     eng = CaptureEngine(conf)
