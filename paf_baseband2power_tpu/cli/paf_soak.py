@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import threading
-import time
 import uuid
 
 
@@ -55,21 +53,36 @@ def main(argv=None) -> int:
                     "remote-tunnel TPU where each fetch costs ~30 ms)")
     ap.add_argument("-k", "--dir", default=None, help="log directory")
     args = ap.parse_args(argv)
+    if args.tbuf and not 0 < args.tbuf <= args.ndf:
+        ap.error(f"--tbuf must be in [1, --ndf={args.ndf}]: the native "
+                 "engine rejects a temp buffer deeper than one ring block")
 
     from .. import constants as C
     from ..io import ringbuffer as rb
-    from ..io.capture import CaptureConf, CaptureEngine
-    from ..io.sender import stream_frames, stream_frames_native
     from ..runtime import apply_platform_env
     from ..runtime.log import open_log
 
     apply_platform_env()
-    from ..runtime.pipeline import MemorySink, PowerPipeline
-    from ..io.ringbuffer import RingSource
 
     log = open_log("paf_soak", args.dir)
     key = "sk" + uuid.uuid4().hex[:6]
     rb.create(key, args.ndf * args.nchk * C.DT_SIZE, args.nblk)
+    # the shm ring must not leak if engine construction / warmup / the
+    # soak body raises — everything below runs under this finally
+    try:
+        report = _soak(args, key, log)
+    finally:
+        if rb.exists(key):
+            rb.destroy(key)
+    log.info("soak: %s", report)
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
+def _soak(args, key: str, log) -> dict:
+    from .. import constants as C
+    from ..io.capture import CaptureConf, CaptureEngine
+    from ..runtime.pipeline import MemorySink, PowerPipeline
 
     # compile the compute step BEFORE any real-time machinery starts: a
     # first-block JIT (tens of seconds on a remote-compile TPU) would stall
@@ -90,11 +103,27 @@ def main(argv=None) -> int:
         ip="127.0.0.1", port_base=args.port_base, nports=args.nports,
         ring_key=key, ndf_blk=args.ndf, nchk=args.nchk, freq_base=1000.0,
         chunk_bw=7.0,
-        tbuf_ndf=args.tbuf or min(max(args.ndf // 4, 32), 256),
+        tbuf_ndf=args.tbuf or min(max(args.ndf // 4, 32), 256, args.ndf),
         timeout_sec=2.0,
         ndf_check=args.nchk * 2, zero_blocks=True,
     )
     eng = CaptureEngine(conf)
+    try:
+        return _soak_with_engine(args, key, eng, pipe, sink, warmup_sec,
+                                 frame_time, total_frames, kw)
+    finally:
+        eng.close()
+
+
+def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
+                      total_frames, kw) -> dict:
+    import threading
+    import time
+
+    from .. import constants as C
+    from ..io import ringbuffer as rb
+    from ..io.ringbuffer import RingSource
+    from ..io.sender import stream_frames, stream_frames_native
 
     probe_done = threading.Event()
 
@@ -183,12 +212,7 @@ def main(argv=None) -> int:
         "pass": bool(loss <= args.max_loss
                      and stats.nblocks >= expected_blocks - 1),
     }
-    eng.close()
-    if rb.exists(key):
-        rb.destroy(key)
-    log.info("soak: %s", report)
-    print(json.dumps(report))
-    return 0 if report["pass"] else 1
+    return report
 
 
 if __name__ == "__main__":

@@ -88,6 +88,25 @@ def process_block_slice(mesh, nbeam_total: int, ndf_total: int):
     coords = [np.argwhere(mesh.devices == d)[0] for d in local]
     beams = sorted({int(c[0]) for c in coords})
     times = sorted({int(c[1]) for c in coords})
+    # the min..max range below silently computes a WRONG slice unless this
+    # process's devices tile a dense (beam x time) rectangle — reject any
+    # scattered device-to-process assignment outright
+    if beams != list(range(beams[0], beams[-1] + 1)):
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous beam "
+            f"coordinates {beams}; reorder the mesh so each process's "
+            "devices form a dense beam range")
+    if times != list(range(times[0], times[-1] + 1)):
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous time "
+            f"coordinates {times}; reorder the mesh so each process's "
+            "devices form a dense time range")
+    cells = {(int(c[0]), int(c[1])) for c in coords}
+    if len(cells) != len(beams) * len(times):
+        raise ValueError(
+            f"process {jax.process_index()} devices do not tile the "
+            f"{len(beams)}x{len(times)} (beam x time) rectangle "
+            f"({len(cells)} cells); the feeder slice would be wrong")
     beam_per = nbeam_total // n_beam
     ndf_per = ndf_total // n_time
     return (

@@ -34,3 +34,44 @@ def test_process_block_slice_single():
     # single process owns everything
     assert (b0, b1) == (0, 4)
     assert (f0, f1) == (0, 64)
+
+
+class _FakeDev:
+    def __init__(self, process_index):
+        self.process_index = process_index
+
+
+class _FakeMesh:
+    """Just enough mesh surface for process_block_slice."""
+
+    def __init__(self, proc_grid):
+        # proc_grid: (n_beam, n_time) array of owning process indices
+        self.devices = np.empty(proc_grid.shape, dtype=object)
+        for idx, p in np.ndenumerate(proc_grid):
+            self.devices[idx] = _FakeDev(int(p))
+        self.shape = {M.BEAM_AXIS: proc_grid.shape[0],
+                      M.TIME_AXIS: proc_grid.shape[1]}
+
+
+def test_process_block_slice_rejects_non_contiguous():
+    # process 0 owns time columns 0 and 2 of 4 — min..max would silently
+    # claim column 1 (owned by process 1); must raise instead
+    grid = np.array([[0, 1, 0, 1]])
+    with pytest.raises(ValueError, match="non-contiguous time"):
+        DD.process_block_slice(_FakeMesh(grid), nbeam_total=1, ndf_total=64)
+    # scattered beams likewise
+    grid_b = np.array([[0], [1], [0], [1]])
+    with pytest.raises(ValueError, match="non-contiguous beam"):
+        DD.process_block_slice(_FakeMesh(grid_b), nbeam_total=4,
+                               ndf_total=64)
+    # L-shaped ownership: contiguous coordinate sets that do not tile the
+    # rectangle
+    grid_l = np.array([[0, 0], [0, 1]])
+    with pytest.raises(ValueError, match="rectangle"):
+        DD.process_block_slice(_FakeMesh(grid_l), nbeam_total=2,
+                               ndf_total=64)
+    # a dense rectangle still resolves
+    grid_ok = np.array([[0, 0], [1, 1]])
+    (b0, b1), (f0, f1) = DD.process_block_slice(_FakeMesh(grid_ok),
+                                                nbeam_total=2, ndf_total=8)
+    assert (b0, b1) == (0, 1) and (f0, f1) == (0, 8)
