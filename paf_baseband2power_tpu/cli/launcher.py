@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     ap.add_argument("--nchk", type=int, default=None,
                     help="chunk count override")
     ap.add_argument("--keep-rings", action="store_true")
+    ap.add_argument("--lock-rings", action="store_true",
+                    help="mlock ring segments in every attaching process "
+                    "(the -l in dada_db -l, paf-baseband2power.py:114); "
+                    "best effort under RLIMIT_MEMLOCK")
     args = ap.parse_args(argv)
 
     from ..config import load_config
@@ -77,9 +81,10 @@ def main(argv=None) -> int:
             rb.destroy(key)
     # NREADER from the config (dada_db -r, paf-baseband2power.py:114)
     rb.create(key_in, conf.diskdb_rbufsz, conf.diskdb.nblk,
-              nreader=conf.diskdb.nreader)
+              nreader=conf.diskdb.nreader, lock_pages=args.lock_rings)
     rb.create(key_out, conf.baseband2power_rbufsz, conf.baseband2power.nblk,
-              nreader=conf.baseband2power.nreader)
+              nreader=conf.baseband2power.nreader,
+              lock_pages=args.lock_rings)
     log.info("created rings: %s (%d x %d B), %s (%d x %d B)",
              key_in, conf.diskdb.nblk, conf.diskdb_rbufsz,
              key_out, conf.baseband2power.nblk, conf.baseband2power_rbufsz)

@@ -51,6 +51,9 @@ def load_library() -> ctypes.CDLL:
         p_u8 = ctypes.POINTER(ctypes.c_uint8)
         sigs = {
             "pafb2p_rb_create": (i32, [ctypes.c_char_p, u64, u32, u32, u32]),
+            "pafb2p_rb_create_ex": (i32, [ctypes.c_char_p, u64, u32, u32,
+                                          u32, u32]),
+            "pafb2p_rb_pages_locked": (i32, [ctypes.c_void_p]),
             "pafb2p_rb_destroy": (i32, [ctypes.c_char_p]),
             "pafb2p_rb_connect": (ctypes.c_void_p, [ctypes.c_char_p]),
             "pafb2p_rb_disconnect": (None, [ctypes.c_void_p]),
@@ -94,14 +97,25 @@ def _check(rc: int, what: str) -> None:
         raise RingBufferError(-rc, f"{what}: {os.strerror(-rc)}")
 
 
+#: create() flag: mlock the segment in every connecting process
+LOCK_PAGES = 0x1
+
+
 def create(key: str, bufsz: int, nbufs: int,
-           hdrsz: int = C.DADA_HDR_SIZE, nreader: int = 1) -> None:
+           hdrsz: int = C.DADA_HDR_SIZE, nreader: int = 1,
+           lock_pages: bool = False) -> None:
     """Create a ring (the ``dada_db -l -r NREADER`` analogue,
     paf-baseband2power.py:114). Every block must be released by all
-    ``nreader`` reader clients before the writer may reuse it."""
-    _check(load_library().pafb2p_rb_create(key.encode(), bufsz, nbufs, hdrsz,
-                                           nreader),
-           f"create ring '{key}'")
+    ``nreader`` reader clients before the writer may reuse it.
+
+    ``lock_pages``: mlock the segment in every connecting process (the
+    ``-l`` in ``dada_db -l``): a multi-GB ring paging mid-stream is data
+    loss. Best effort — RLIMIT_MEMLOCK denial degrades to unlocked
+    (check ``RingBuffer.pages_locked``)."""
+    _check(load_library().pafb2p_rb_create_ex(
+        key.encode(), bufsz, nbufs, hdrsz, nreader,
+        LOCK_PAGES if lock_pages else 0),
+        f"create ring '{key}'")
 
 
 def destroy(key: str) -> None:
@@ -143,6 +157,11 @@ class RingBuffer:
     @property
     def nreaders(self) -> int:
         return self._lib.pafb2p_rb_nreaders(self._h)
+
+    @property
+    def pages_locked(self) -> bool:
+        """True if this process's mapping of the segment is mlocked."""
+        return bool(self._lib.pafb2p_rb_pages_locked(self._h))
 
     # header channel --------------------------------------------------------
     def write_header(self, header: DadaHeader | bytes) -> None:

@@ -113,6 +113,19 @@ struct pafb2p_capture {
   std::vector<uint8_t> tbuf;
   std::vector<uint8_t> ttag;
 
+  /* per-slot fill tags for the current block (zero_blocks support).
+   * Written by capture threads under the shared lock (each slot belongs to
+   * exactly one port — the sender's chunk->port mapping — so no two threads
+   * touch the same byte); scanned/cleared by rotation under the exclusive
+   * lock. This replaces the old whole-block memset in rotate_block, which
+   * held rot_mu exclusively for hundreds of ms at full geometry (2.8 GB)
+   * while every capture thread blocked — burning the entire tbuf headroom
+   * at the real 444k frames/s. Now rotation zeroes only the slots that
+   * never arrived (nothing, at zero loss) and the fresh block needs no
+   * zeroing at all. (The reference never zeroes, sync.c:101-110; zeroing is
+   * this engine's stronger guarantee that lost frames read as silence.) */
+  std::vector<uint8_t> filled;
+
   PortStats stats[kMaxPorts];
   std::atomic<uint64_t> blocks_committed{0};
   std::atomic<uint64_t> nforce{0};
@@ -162,8 +175,36 @@ int chunk_of(const pafb2p_capture *h, double freq) {
   return i;
 }
 
+/* Zero the slots of the current block that no frame ever filled, so lost
+ * frames read as silence. Caller holds rot_mu exclusively (no concurrent
+ * fill-tag writes). At zero loss this is one all-ones word scan over the
+ * tag array (~50 us at full geometry) — the affordable form of the old
+ * 2.8 GB whole-block memset. */
+void zero_unfilled(pafb2p_capture *h) {
+  if (!h->conf.zero_blocks || !h->cur_block)
+    return;
+  const uint64_t nslots =
+      static_cast<uint64_t>(h->conf.ndf_blk) * h->conf.nchk;
+  const uint8_t *f = h->filled.data();
+  constexpr uint64_t kAllFilled = 0x0101010101010101ULL;
+  uint64_t i = 0;
+  for (; i + 8 <= nslots; i += 8) {
+    uint64_t w;
+    memcpy(&w, f + i, 8);
+    if (w == kAllFilled)
+      continue;
+    for (uint64_t j = i; j < i + 8; ++j)
+      if (!f[j])
+        memset(h->cur_block + j * kPayloadBytes, 0, kPayloadBytes);
+  }
+  for (; i < nslots; ++i)
+    if (!f[i])
+      memset(h->cur_block + i * kPayloadBytes, 0, kPayloadBytes);
+}
+
 /* Rotate to the next ring block. Caller holds rot_mu exclusively. */
 int rotate_block(pafb2p_capture *h) {
+  zero_unfilled(h);
   if (pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring)) != 0)
     return -EIO;
   h->blocks_committed.fetch_add(1);
@@ -171,10 +212,10 @@ int rotate_block(pafb2p_capture *h) {
   if (!nb)
     return -ETIMEDOUT;
   h->cur_block = nb;
-  if (h->conf.zero_blocks)
-    memset(nb, 0, pafb2p_rb_bufsz(h->ring));
   uint64_t ndf = h->conf.ndf_blk;
   h->block_base.fetch_add(ndf);
+  if (h->conf.zero_blocks)
+    memset(h->filled.data(), 0, h->filled.size());
   /* replay temp-buffer frames into the fresh block (sync.c:141-170) */
   uint32_t nchk = h->conf.nchk;
   for (uint64_t t = 0; t < h->conf.tbuf_ndf; ++t) {
@@ -184,6 +225,8 @@ int rotate_block(pafb2p_capture *h) {
         memcpy(nb + slot * kPayloadBytes,
                h->tbuf.data() + slot * kPayloadBytes, kPayloadBytes);
         h->ttag[slot] = 0;
+        if (h->conf.zero_blocks)
+          h->filled[slot] = 1;
       }
     }
   }
@@ -253,9 +296,11 @@ void capture_thread(pafb2p_capture *h, int slot) {
       /* frame belongs to an already-closed block: drop (capture.c:464-466) */
       st.dropped.fetch_add(1, std::memory_order_relaxed);
     } else if (rel < static_cast<int64_t>(ndf)) {
-      memcpy(h->cur_block +
-                 (static_cast<uint64_t>(rel) * nchk + ifreq) * kPayloadBytes,
-             buf + kHdrBytes, kPayloadBytes);
+      uint64_t slot_idx = static_cast<uint64_t>(rel) * nchk + ifreq;
+      memcpy(h->cur_block + slot_idx * kPayloadBytes, buf + kHdrBytes,
+             kPayloadBytes);
+      if (h->conf.zero_blocks)
+        h->filled[slot_idx] = 1;
       st.received.fetch_add(1, std::memory_order_relaxed);
     } else if (rel < static_cast<int64_t>(ndf + tbuf_ndf)) {
       uint64_t slot_idx = (static_cast<uint64_t>(rel) - ndf) * nchk + ifreq;
@@ -310,6 +355,7 @@ void sync_thread(pafb2p_capture *h) {
   }
   /* final block + EOD on every exit path (sync.c:177-204) */
   std::unique_lock<std::shared_mutex> lk(h->rot_mu);
+  zero_unfilled(h);
   pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring));
   h->blocks_committed.fetch_add(1);
   h->cur_block = nullptr;
@@ -439,7 +485,8 @@ int pafb2p_capture_start(pafb2p_capture *h) {
   if (!h->cur_block)
     return -ETIMEDOUT;
   if (h->conf.zero_blocks)
-    memset(h->cur_block, 0, want);
+    /* fill tags (not a block memset): unfilled slots are zeroed at close */
+    h->filled.assign(static_cast<size_t>(h->conf.ndf_blk) * h->conf.nchk, 0);
 
   h->block_base.store(h->ref_g);
   if (h->conf.length_sec > 0) {

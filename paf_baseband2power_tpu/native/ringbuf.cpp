@@ -17,7 +17,7 @@
 namespace {
 
 constexpr uint64_t kMagic = 0x50414642325042ULL; /* "PAFB2PB" */
-constexpr uint32_t kVersion = 2;
+constexpr uint32_t kVersion = 3;
 constexpr uint64_t kPollUs = 200; /* wait poll interval */
 constexpr uint64_t kNoEod = ~0ULL;
 
@@ -37,6 +37,8 @@ struct Control {
   uint64_t bufsz;
   uint32_t nbufs;
   uint32_t nreaders; /* reader slots every block must pass through */
+  uint32_t flags;    /* PAFB2P_RB_FLAG_* set at creation */
+  uint32_t pad_;
 
   std::atomic<uint64_t> w_opened;  /* blocks opened for write  */
   std::atomic<uint64_t> w_closed;  /* blocks committed         */
@@ -88,13 +90,19 @@ struct pafb2p_rb {
   uint8_t *data = nullptr;
   size_t map_len = 0;
   bool is_writer = false;
-  int reader_slot = -1; /* >= 0 once locked for read */
+  bool pages_locked = false; /* this mapping is mlocked */
+  int reader_slot = -1;      /* >= 0 once locked for read */
 };
 
 extern "C" {
 
 int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
                      uint32_t hdrsz, uint32_t nreaders) {
+  return pafb2p_rb_create_ex(key, bufsz, nbufs, hdrsz, nreaders, 0);
+}
+
+int pafb2p_rb_create_ex(const char *key, uint64_t bufsz, uint32_t nbufs,
+                        uint32_t hdrsz, uint32_t nreaders, uint32_t flags) {
   if (bufsz == 0 || nbufs == 0 || nreaders == 0 ||
       nreaders > PAFB2P_RB_MAX_READERS)
     return -EINVAL;
@@ -123,6 +131,7 @@ int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
   ctl->bufsz = bufsz;
   ctl->nbufs = nbufs;
   ctl->nreaders = nreaders;
+  ctl->flags = flags;
   ctl->w_opened.store(0);
   ctl->w_closed.store(0);
   ctl->eod_block.store(kNoEod);
@@ -169,6 +178,11 @@ pafb2p_rb *pafb2p_rb_connect(const char *key) {
   auto *h = new pafb2p_rb();
   h->ctl = ctl;
   h->map_len = static_cast<size_t>(st.st_size);
+  if (ctl->flags & PAFB2P_RB_FLAG_LOCK_PAGES) {
+    /* best effort per-mapping: an RLIMIT_MEMLOCK denial must not make the
+     * ring unusable, only unlocked (caller can check pages_locked) */
+    h->pages_locked = mlock(p, h->map_len) == 0;
+  }
   h->block_bytes =
       reinterpret_cast<uint64_t *>(reinterpret_cast<uint8_t *>(p) + sizeof(Control));
   h->hdr = reinterpret_cast<uint8_t *>(p) + control_bytes(ctl->nbufs);
@@ -185,6 +199,10 @@ void pafb2p_rb_disconnect(pafb2p_rb *h) {
     pafb2p_rb_unlock_read(h);
   munmap(h->ctl, h->map_len);
   delete h;
+}
+
+int pafb2p_rb_pages_locked(const pafb2p_rb *h) {
+  return h && h->pages_locked ? 1 : 0;
 }
 
 uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h) { return h ? h->ctl->bufsz : 0; }

@@ -34,13 +34,28 @@ typedef struct pafb2p_rb pafb2p_rb; /* opaque handle */
 
 #define PAFB2P_RB_MAX_READERS 8
 
+/* creation flags */
+#define PAFB2P_RB_FLAG_LOCK_PAGES 0x1u /* mlock the segment in every
+                                        * connecting process (the `dada_db
+                                        * -l` analogue, paf-baseband2power.
+                                        * py:114): a 22.5 GB ring paging
+                                        * mid-stream is data loss. Best
+                                        * effort — an RLIMIT_MEMLOCK denial
+                                        * degrades to unlocked, queryable
+                                        * via pafb2p_rb_pages_locked. */
+
 /* lifecycle; nreaders = reader slots every block must pass through
  * (1..PAFB2P_RB_MAX_READERS) */
 int pafb2p_rb_create(const char *key, uint64_t bufsz, uint32_t nbufs,
                      uint32_t hdrsz, uint32_t nreaders);
+int pafb2p_rb_create_ex(const char *key, uint64_t bufsz, uint32_t nbufs,
+                        uint32_t hdrsz, uint32_t nreaders, uint32_t flags);
 int pafb2p_rb_destroy(const char *key);
 pafb2p_rb *pafb2p_rb_connect(const char *key);
 void pafb2p_rb_disconnect(pafb2p_rb *h);
+/* 1 if this process's mapping is mlocked (ring created with LOCK_PAGES and
+ * the mlock succeeded here) */
+int pafb2p_rb_pages_locked(const pafb2p_rb *h);
 
 /* geometry */
 uint64_t pafb2p_rb_bufsz(const pafb2p_rb *h);

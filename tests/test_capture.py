@@ -450,3 +450,64 @@ def test_capture_beam_filter(ring_key):
     # all beam-5 frames rejected: dropped >= one full stream's worth
     assert sum(s.dropped for s in stats) >= NDF * NCHK
     eng.close()
+
+
+def test_capture_zero_fill_after_ring_wrap():
+    """Zero-on-loss holds on RECYCLED ring memory.
+
+    Rotation no longer memsets whole blocks under the rotation lock (the
+    old design stalled every capture thread for the duration of a 2.8 GB
+    memset at full geometry); instead unfilled slots are zeroed from a
+    fill-tag scan just before the block is committed. The regression this
+    guards: a block whose shm memory previously held real frames (ring
+    wrapped, nbufs=2, 6 blocks streamed) must still read zeros — not stale
+    bytes from the earlier cycle — at every lost slot.
+    """
+    key = uuid.uuid4().hex[:8]
+    rb.create(key, NDF * NCHK * C.DT_SIZE, 2)
+    blocks = []
+
+    def reader():
+        with rb.RingBuffer(key) as ring:
+            ring.lock_read()
+            while True:
+                view = ring.open_block_read(timeout_us=20_000_000)
+                if view is None:
+                    break
+                blocks.append(view.copy())
+                ring.close_block_read()
+            ring.unlock_read()
+
+    rx = threading.Thread(target=reader)
+    rx.start()
+    try:
+        port_base = _free_ports()
+        eng, rc, idf0 = run_capture(
+            key, nframes=6 * NDF, port_base=port_base,
+            sender_kwargs=dict(drop_prob=0.25, seed=11))
+        assert rc == 0
+        eng.close()
+        rx.join(timeout=30)
+        assert not rx.is_alive()
+    finally:
+        if rx.is_alive():
+            rx.join(timeout=5)
+        if rb.exists(key):
+            rb.destroy(key)
+
+    assert len(blocks) >= 6
+    lost = 0
+    for bi in (4, 5):            # memory recycled from blocks bi-2 and bi-4
+        arr = blocks[bi].view("<i2").reshape(NDF, NCHK, C.DT_SIZE // 2)
+        for t in range(NDF):
+            for c in range(NCHK):
+                k = idf0 + bi * NDF + t
+                if arr[t, c, 1] == 0:       # real payloads never have 0 here
+                    lost += 1
+                    assert not arr[t, c].any(), (
+                        f"stale bytes at block {bi} frame {t} chunk {c}")
+                else:
+                    np.testing.assert_array_equal(
+                        arr[t, c], expected_payload(k, c),
+                        err_msg=f"block {bi} frame {t} chunk {c}")
+    assert lost > 0              # 25% drop over 512 slots: ~128 expected

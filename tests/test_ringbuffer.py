@@ -272,3 +272,19 @@ def test_observability_counters(key):
         r.close_block_read()
         assert r.blocks_read == 1
         assert r.blocks_full == 2
+
+
+def test_lock_pages(key):
+    """lock_pages mlocks the mapping per process (dada_db -l parity,
+    paf-baseband2power.py:114); RLIMIT_MEMLOCK denial degrades to
+    unlocked rather than failing."""
+    rb.create(key, bufsz=4096, nbufs=2, lock_pages=True)
+    with rb.RingBuffer(key) as ring:
+        if not ring.pages_locked:
+            pytest.skip("mlock denied by RLIMIT_MEMLOCK on this host")
+        assert ring.pages_locked
+    rb.destroy(key)
+    # an unlocked ring reports False
+    rb.create(key, bufsz=4096, nbufs=2)
+    with rb.RingBuffer(key) as ring:
+        assert not ring.pages_locked
