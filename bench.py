@@ -236,6 +236,12 @@ def main():
     t1 = min(run(n1) for _ in range(3))
     t2 = min(run(n2) for _ in range(3))
     dt = (t2 - t1) / (n2 - n1)
+    if dt <= 0:
+        # tunnel jitter swamped the slope (tiny --quick blocks run faster
+        # than the fetch round-trip variance): fall back to the plain mean,
+        # which merely over-books the fixed fill cost instead of going
+        # negative
+        dt = t2 / n2
 
     value = samples_per_block / dt
     print(json.dumps({

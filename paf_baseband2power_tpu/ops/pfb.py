@@ -102,6 +102,72 @@ def pfb_power_golden(block: np.ndarray, nfft: int, ntap: int = 4,
     return power.reshape(nchk * nchan_chk * nfft).astype(np.float32)
 
 
+def pfb_spectra_golden(block: np.ndarray, nfft: int, ntap: int = 4,
+                       window: str = "hamming", nout: int = 1,
+                       stokes: bool = False, mean: bool = False,
+                       shift: bool = True) -> np.ndarray:
+    """Golden composed fine-channel detection: PFB x tscrunch x Stokes.
+
+    The reference's planned channelizer (``/root/reference/kernel.cuh:4-7``,
+    ``makefile:27`` cuFFT) composed with its "detect ... and average ... in
+    time" contract (``paf_baseband2power.cu:20``) implies what F-engine
+    backends actually ship: fine-channel spectra *with time resolution*
+    (a waterfall) and fine-channel polarimetry. This is the float64 oracle
+    for both, and for their composition.
+
+    Window-group convention (streaming-consistent): window ``w`` ends in
+    row-slot ``e = w + ntap - 1`` (rows are ``nfft``-sample blocks); its
+    output spectrum is ``e // (nblk / nout)``. Boundary windows carried in
+    from the previous block end in rows ``0..ntap-2`` and so land in
+    spectrum 0 — a two-block stream with history reproduces the one-shot
+    golden over the concatenated series exactly, group by group.
+
+    Returns float32 ``(nout, nchan * nfft)`` or, with ``stokes``,
+    ``(nout, 4, nchan * nfft)`` ordered I, Q, U, V.
+    """
+    ndf, nchk, nsamp_df, nchan_chk, npol, ndim = block.shape
+    nsamp = ndf * nsamp_df
+    nblk = nsamp // nfft
+    if nblk % nout:
+        raise ValueError(f"nout={nout} must divide {nblk} window slots")
+    wpg = nblk // nout
+    if wpg < max(ntap - 1, 1):
+        raise ValueError(
+            f"windows per spectrum {wpg} must be >= ntap-1={ntap - 1} "
+            "(boundary windows may not straddle output spectra)")
+    x = block.astype(np.float64)
+    v = (x[..., 0] + 1j * x[..., 1]).transpose(1, 3, 4, 0, 2).reshape(
+        nchk, nchan_chk, npol, nsamp)
+    coeffs = pfb_coeffs(nfft, ntap, window, dtype=np.float64)
+    y = channelize_golden(v, coeffs)        # (chk, chan, pol, nwin, nfft)
+    nwin = y.shape[-2]
+    if stokes:
+        if npol != 2:
+            raise ValueError("Stokes needs 2 polarizations")
+        yx, yy = y[:, :, 0], y[:, :, 1]
+        pxx = np.abs(yx) ** 2
+        pyy = np.abs(yy) ** 2
+        xy = yx * np.conj(yy)
+        s = np.stack([pxx + pyy, pxx - pyy, 2 * xy.real, 2 * xy.imag],
+                     axis=2)                # (chk, chan, 4, nwin, nfft)
+    else:
+        s = (np.abs(y) ** 2).sum(axis=2)[:, :, None]   # (.., 1, nwin, nfft)
+    slots = np.zeros(s.shape[:3] + (nblk, nfft))
+    slots[..., ntap - 1:ntap - 1 + nwin, :] = s
+    g = slots.reshape(s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
+    if mean:
+        nwin_g = np.full(nout, float(wpg))
+        nwin_g[0] -= ntap - 1               # one-shot: no boundary windows
+        denom = nwin_g * (1 if stokes else npol)
+        g = g / denom[:, None]
+    if shift:
+        g = np.fft.fftshift(g, axes=-1)
+    out = g.transpose(3, 2, 0, 1, 4).reshape(nout, s.shape[2],
+                                             nchk * nchan_chk * nfft)
+    out = out.astype(np.float32)
+    return out if stokes else out[:, 0]
+
+
 # --------------------------------------------------------------------------
 # JAX implementation
 # --------------------------------------------------------------------------
@@ -509,6 +575,177 @@ def pfb_history(block: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
     overlap-save carry."""
     v = _block_to_series(block)
     return v[..., -(ntap - 1) * nfft:]
+
+
+def _spectra_detect(v: jax.Array, nfft: int, stokes: bool, method: str,
+                    ops) -> jax.Array:
+    """Channelize + per-window detect: complex series ``(gchk, nchan, npol,
+    nsamp)`` -> ``(gchk, nchan, ns, nwin, nfft)`` (ns = 4 Stokes or 1)."""
+    if method == "matmul":
+        w_re, w_im = ops
+        y_re, y_im = channelize_matmul(v, w_re, w_im)
+    else:
+        y = channelize(v, ops)
+        y_re, y_im = jnp.real(y), jnp.imag(y)
+    if stokes:
+        xr, xi = y_re[:, :, 0], y_im[:, :, 0]
+        yr, yi = y_re[:, :, 1], y_im[:, :, 1]
+        pxx = xr * xr + xi * xi
+        pyy = yr * yr + yi * yi
+        re = xr * yr + xi * yi                       # Re(x y*)
+        im = xi * yr - xr * yi                       # Im(x y*)
+        return jnp.stack([pxx + pyy, pxx - pyy, 2 * re, 2 * im], axis=2)
+    p = y_re * y_re + y_im * y_im
+    return p.sum(axis=2)[:, :, None]
+
+
+def _group_windows(s: jax.Array, nout: int, wpg: int, ntap: int,
+                   nblk: int) -> jax.Array:
+    """Window-group fold: ``(..., nwin, nfft) -> (..., nout, nfft)``.
+
+    Window ``w`` lands in slot ``e = w + ntap - 1`` (its end row); slots
+    fold into ``nout`` contiguous groups of ``wpg`` — a front zero-pad plus
+    reshape-sum, no gathers (groups are contiguous in end-row order).
+    """
+    nwin = s.shape[-2]
+    pad = [(0, 0)] * (s.ndim - 2) + [(ntap - 1, nblk - (ntap - 1) - nwin),
+                                     (0, 0)]
+    s = jnp.pad(s, pad)
+    return s.reshape(s.shape[:-2] + (nout, wpg, s.shape[-1])).sum(axis=-2)
+
+
+def spectra_chunk_groups(nchk: int) -> int:
+    """Chunk-group count for the composed-spectra path (fft / stacked
+    matmul channelizers both materialize per-window temporaries)."""
+    for g in (16, 12, 8, 6, 4, 3, 2):
+        if nchk % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nfft", "ntap", "window", "nout",
+                                    "stokes", "mean", "shift",
+                                    "chunk_groups", "return_history",
+                                    "method"))
+def pfb_spectra(block: jax.Array, nfft: int, ntap: int = 4,
+                window: str = "hamming", nout: int = 1,
+                stokes: bool = False, mean: bool = False, shift: bool = True,
+                history: jax.Array | None = None,
+                chunk_groups: int | None = None,
+                return_history: bool = False,
+                method: str = "auto"):
+    """Composed fine-channel detection (XLA): PFB x tscrunch x Stokes.
+
+    The general-``nfft`` realization of ``pfb_spectra_golden``'s contract:
+    ``(nout, nchan*nfft)`` waterfall spectra, or ``(nout, 4, nchan*nfft)``
+    fine-channel Stokes. ``nout=1, stokes=False`` reduces to ``pfb_power``
+    semantics (kept separate: that path has the tuned whole-block sliding
+    formulation; this one needs per-window products before the time fold,
+    so it channelizes via the stacked-matmul (nfft <= 256) or fft method
+    with the chunk axis processed in sequential groups).
+
+    ``history``: complex carry as in ``pfb_power``; the ``ntap-1`` boundary
+    windows it enables land in output spectrum 0 (end-row convention — see
+    the golden docstring). On TPU with ``nfft`` in the fused-kernel set,
+    use ``ops.pallas_pfb.pfb_spectra_fused`` instead (the streaming factory
+    dispatches automatically).
+    """
+    nchk = block.shape[1]
+    npol = block.shape[4]
+    nsamp = block.shape[0] * (NSAMP_DF if block.ndim == 6 else 0)
+    if block.ndim != 6:
+        raise ValueError("pfb_spectra expects the canonical 6-D block")
+    nblk = nsamp // nfft
+    if nblk % nout:
+        raise ValueError(f"nout={nout} must divide {nblk} window slots")
+    wpg = nblk // nout
+    if wpg < max(ntap - 1, 1):
+        raise ValueError(
+            f"windows per spectrum {wpg} must be >= ntap-1={ntap - 1}")
+    if method == "auto":
+        method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    if method == "matmul":
+        ops = tuple(jnp.asarray(w)
+                    for w in pfb_matmul_weights(nfft, ntap, window))
+    elif method == "fft":
+        ops = jnp.asarray(pfb_coeffs(nfft, ntap, window))
+    else:
+        raise ValueError(f"unknown method '{method}'")
+    if chunk_groups is None:
+        chunk_groups = spectra_chunk_groups(nchk)
+
+    v = _block_to_series(block)
+    halo = (ntap - 1) * nfft
+    v_tail = v[..., -halo:]
+
+    def detect_group(sub):
+        s = _spectra_detect(sub, nfft, stokes, method, ops)
+        return _group_windows(s, nout, wpg, ntap, nblk)
+
+    if chunk_groups <= 1 or nchk % chunk_groups:
+        g = detect_group(v)
+    else:
+        gsz = nchk // chunk_groups
+
+        def one(i):
+            sub = jax.lax.dynamic_slice_in_dim(v, i * gsz, gsz, axis=0)
+            return detect_group(sub)
+
+        g = jax.lax.map(one, jnp.arange(chunk_groups))
+        g = g.reshape((nchk,) + g.shape[2:])
+
+    if history is not None:
+        boundary = jnp.concatenate([history, v[..., :halo]], axis=-1)
+        s_b = _spectra_detect(boundary, nfft, stokes, method, ops)
+        g = g.at[..., 0, :].add(s_b.sum(axis=-2))
+
+    ns = g.shape[2]
+    if mean:
+        nwin_g = jnp.full((nout,), float(wpg))
+        if history is None:
+            nwin_g = nwin_g.at[0].add(-(ntap - 1))
+        denom = nwin_g * (1 if stokes else npol)
+        g = g / denom[:, None]
+    if shift:
+        g = jnp.fft.fftshift(g, axes=-1)
+    out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns,
+                                             nchk * NCHAN_CHK * nfft)
+    if not stokes:
+        out = out[:, 0]
+    if return_history:
+        return out, v_tail
+    return out
+
+
+def make_streaming_spectra(nfft: int, ntap: int = 4, nout: int = 1,
+                           stokes: bool = False, **kw):
+    """Return ``step(block, history) -> (spectra, new_history)`` for the
+    composed fine-channel modes; accepts 6-D or 2-D device blocks.
+
+    On a TPU backend with ``nfft`` in the fused-kernel set the step
+    delegates to ``ops.pallas_pfb.pfb_spectra_fused``; pass
+    ``method="fft"`` (or ``"matmul"``) to force the XLA path.
+    """
+    method = kw.get("method", "auto")
+    if method == "auto" and jax.default_backend() == "tpu":
+        from .pallas_pfb import FUSED_NFFTS, make_streaming_spectra_fused
+
+        if nfft in FUSED_NFFTS:
+            return make_streaming_spectra_fused(nfft, ntap, nout=nout,
+                                                stokes=stokes, **kw)
+
+    @jax.jit
+    def step(block, history):
+        if block.ndim == 2:
+            ndf, lanes = block.shape
+            block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
+                                                 NPOL_SAMP * 2),
+                                  NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+        return pfb_spectra(block, nfft, ntap, nout=nout, stokes=stokes,
+                           history=history, return_history=True, **kw)
+
+    return step
 
 
 def make_streaming_pfb(nfft: int, ntap: int = 4,

@@ -25,8 +25,12 @@ def test_soak_realtime_native_sender(tmp_path):
     scheduling stalls; the wire rate per chunk is the real one. One retry:
     the fall-behind policy under test is itself probabilistic when the OS
     preempts capture for >2*ndf frame-times on an oversubscribed CI host."""
+    import time
+
     last = None
-    for attempt in range(2):
+    for attempt in range(3):
+        if attempt:
+            time.sleep(5)  # let prior-test JAX/compile load drain
         try:
             report = _run_soak(
                 ["--seconds", "3", "--rate", "1.0", "--ndf", "1024",

@@ -1,0 +1,146 @@
+"""Composed fine-channel detection: PFB x tscrunch waterfall, PFB x Stokes.
+
+Parity chain: float64 golden (pfb_spectra_golden) -> XLA generic
+(pfb_spectra) -> fused Pallas kernel (pfb_spectra_fused, interpret mode on
+CPU). Reference contract: the planned cuFFT channelizer
+(/root/reference/makefile:27, kernel.cuh:4-7) composed with the detect-and-
+average usage string (paf_baseband2power.cu:20).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from paf_baseband2power_tpu import constants as C
+from paf_baseband2power_tpu.ops import frame as F
+from paf_baseband2power_tpu.ops import pfb
+
+NDF, NCHK, NFFT, NTAP = 16, 2, 32, 4
+
+
+def assert_close(got, want, rtol=2e-4):
+    """Scale-aware parity: Q/U/V of noise sit near zero by cancellation, so
+    absolute error is bounded by the detection scale (I), not the value."""
+    atol = 1e-5 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+# --------------------------------------------------------------------------
+# Golden self-consistency
+# --------------------------------------------------------------------------
+
+def test_golden_nout1_equals_pfb_power_golden():
+    block = F.synthetic_block(rng=50, ndf=NDF, nchk=NCHK)
+    got = pfb.pfb_spectra_golden(block, NFFT, NTAP, nout=1)
+    want = pfb.pfb_power_golden(block, NFFT, NTAP)
+    assert got.shape == (1, NCHK * C.NCHAN_CHK * NFFT)
+    np.testing.assert_allclose(got[0], want, rtol=1e-6)
+
+
+def test_golden_waterfall_partitions_total_power():
+    """Summing the waterfall over spectra recovers the one-shot total."""
+    block = F.synthetic_block(rng=51, ndf=NDF, nchk=NCHK)
+    wf = pfb.pfb_spectra_golden(block, NFFT, NTAP, nout=4)
+    total = pfb.pfb_power_golden(block, NFFT, NTAP)
+    assert wf.shape == (4, NCHK * C.NCHAN_CHK * NFFT)
+    np.testing.assert_allclose(wf.sum(axis=0), total, rtol=1e-6)
+
+
+def test_golden_stokes_I_equals_power():
+    block = F.synthetic_block(rng=52, ndf=NDF, nchk=NCHK)
+    s = pfb.pfb_spectra_golden(block, NFFT, NTAP, stokes=True)
+    assert s.shape == (1, 4, NCHK * C.NCHAN_CHK * NFFT)
+    total = pfb.pfb_power_golden(block, NFFT, NTAP)
+    np.testing.assert_allclose(s[0, 0], total, rtol=1e-6)
+
+
+def test_golden_stokes_polarized_tone():
+    """A pure-x tone gives Q = I, U = V = 0 in its fine channel."""
+    nsamp = NDF * C.NSAMP_DF
+    n = np.arange(nsamp)
+    tone = 100.0 * np.exp(2j * np.pi * 5 * n / NFFT)
+    block = np.zeros((NDF, NCHK, C.NSAMP_DF, C.NCHAN_CHK, 2, 2), np.int16)
+    series = tone.reshape(NDF, C.NSAMP_DF)
+    block[:, 1, :, 3, 0, 0] = np.round(series.real)
+    block[:, 1, :, 3, 0, 1] = np.round(series.imag)
+    s = pfb.pfb_spectra_golden(block, NFFT, NTAP, stokes=True)[0]
+    grid = s.reshape(4, NCHK, C.NCHAN_CHK, NFFT)
+    hot = grid[:, 1, 3, (5 + NFFT // 2) % NFFT]
+    assert hot[0] > 1e3
+    np.testing.assert_allclose(hot[1], hot[0], rtol=1e-9)   # Q == I
+    assert abs(hot[2]) < 1e-6 * hot[0] and abs(hot[3]) < 1e-6 * hot[0]
+
+
+def test_golden_validation():
+    block = F.synthetic_block(rng=53, ndf=NDF, nchk=NCHK)
+    with pytest.raises(ValueError):
+        pfb.pfb_spectra_golden(block, NFFT, NTAP, nout=7)   # not a divisor
+    with pytest.raises(ValueError):                          # wpg < ntap-1
+        pfb.pfb_spectra_golden(block, NFFT, NTAP,
+                               nout=NDF * C.NSAMP_DF // NFFT)
+
+
+# --------------------------------------------------------------------------
+# XLA path parity
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nout,stokes", [(1, False), (4, False), (1, True),
+                                         (8, True)])
+@pytest.mark.parametrize("method", ["matmul", "fft"])
+def test_xla_spectra_matches_golden(nout, stokes, method):
+    block = F.synthetic_block(rng=60, ndf=NDF, nchk=NCHK)
+    got = np.asarray(pfb.pfb_spectra(jnp.asarray(block), NFFT, NTAP,
+                                     nout=nout, stokes=stokes,
+                                     method=method))
+    want = pfb.pfb_spectra_golden(block, NFFT, NTAP, nout=nout,
+                                  stokes=stokes)
+    assert_close(got, want)
+
+
+def test_xla_spectra_mean_noshift():
+    block = F.synthetic_block(rng=61, ndf=NDF, nchk=NCHK)
+    for stokes in (False, True):
+        got = np.asarray(pfb.pfb_spectra(jnp.asarray(block), NFFT, NTAP,
+                                         nout=4, stokes=stokes, mean=True,
+                                         shift=False))
+        want = pfb.pfb_spectra_golden(block, NFFT, NTAP, nout=4,
+                                      stokes=stokes, mean=True, shift=False)
+        assert_close(got, want)
+
+
+def test_xla_spectra_chunk_groups_identical():
+    block = F.synthetic_block(rng=62, ndf=NDF, nchk=4)
+    mono = np.asarray(pfb.pfb_spectra(jnp.asarray(block), NFFT, NTAP,
+                                      nout=4, stokes=True, chunk_groups=1))
+    grp = np.asarray(pfb.pfb_spectra(jnp.asarray(block), NFFT, NTAP,
+                                     nout=4, stokes=True, chunk_groups=4))
+    np.testing.assert_allclose(grp, mono, rtol=1e-6)
+
+
+@pytest.mark.parametrize("nout,stokes", [(2, False), (2, True)])
+def test_xla_spectra_streaming_continuity(nout, stokes):
+    """Two blocks with history == one-shot golden over the concatenation,
+    group by group (the end-row window convention)."""
+    b1 = F.synthetic_block(rng=63, ndf=NDF, nchk=NCHK)
+    b2 = F.synthetic_block(rng=64, ndf=NDF, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    step = pfb.make_streaming_spectra(NFFT, NTAP, nout=nout, stokes=stokes,
+                                      method="matmul")
+    p1, h1 = step(jnp.asarray(b1), None)
+    p2, h2 = step(jnp.asarray(b2), h1)
+    want = pfb.pfb_spectra_golden(both, NFFT, NTAP, nout=2 * nout,
+                                  stokes=stokes)
+    assert_close(np.asarray(p1), want[:nout])
+    assert_close(np.asarray(p2), want[nout:])
+    # carry equals the canonical edge-frame history
+    ref = pfb.pfb_history(jnp.asarray(b2), NFFT, NTAP)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+
+
+def test_streaming_spectra_accepts_2d_layout():
+    block = F.synthetic_block(rng=65, ndf=NDF, nchk=NCHK)
+    step = pfb.make_streaming_spectra(NFFT, NTAP, nout=4, method="matmul")
+    a, _ = step(jnp.asarray(block), None)
+    b, _ = step(jnp.asarray(block.reshape(NDF, -1)), None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
