@@ -115,6 +115,25 @@ def baseband2stokes_golden(block: np.ndarray, mean: bool = False) -> np.ndarray:
     return stokes.reshape(4, nchk * nchan_chk).astype(np.float32)
 
 
+def baseband2stokes_scrunch_golden(block: np.ndarray, nout: int,
+                                   mean: bool = False) -> np.ndarray:
+    """Composed Stokes x sub-block integration oracle (coarse channels):
+    ``nout`` I/Q/U/V spectra per block, float64 accumulation.
+
+    Returns float32 of shape ``(nout, 4, nchk * nchan_chk)``; ``nout=1``
+    row equals :func:`baseband2stokes_golden`.
+    """
+    ndf = block.shape[0]
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    ndf_w = ndf // nout
+    out = np.stack([
+        baseband2stokes_golden(block[w * ndf_w:(w + 1) * ndf_w], mean=mean)
+        for w in range(nout)
+    ])
+    return out
+
+
 def expected_output_nbytes(nchk: int = NCHK_NIC) -> int:
     return nchk * NCHAN_CHK * 4
 

@@ -228,3 +228,390 @@ def make_streaming_pfb_fused(nfft: int = _L, ntap: int = 4, **kw):
                                return_history=True, **kw)
 
     return step
+
+
+# ==========================================================================
+# Generalized fused spectrometer: nfft in {128, 256, 512, 1024}, waterfall
+# (nout spectra per block), fine-channel Stokes — one kernel family.
+# ==========================================================================
+#
+# The nfft=128 kernel above relies on windows tiling frame rows exactly.
+# For larger nfft a window is N1 = nfft/128 consecutive frame rows — a free
+# reshape of the same interleaved corner-turn — but a direct
+# (2*nfft, 2*nfft) DFT operator is both VMEM-hostile (16.8 MB at
+# nfft=1024 vs ~16 MB/core) and MXU-wasteful (O(nfft) MACs/sample).
+# Instead the DFT is done Cooley-Tukey with the split n = 128*n1 + n2:
+#
+#     X[N1*k2 + k1] = sum_n2 ( A_k1[n2] * W_N^(n2*k1) ) * W_128^(n2*k2)
+#     A_k1[n2]      = sum_n1 x_n1[n2] * W_N1^(n1*k1)
+#
+# * stage A is an N1-point DFT *across* the window's N1 contiguous
+#   128-sample chunks — elementwise over n2, so it is pure lane-aligned
+#   VPU work on the interleaved layout (complex scalar multiply = one
+#   pair-swap roll + two scaled adds; W_N1 factors are compile-time
+#   scalars, unrolled with exact-zero terms skipped);
+# * the twiddle W_N^(n2*k1) folds into stage B's operator, giving N1
+#   distinct (256, 256) real-pair matmuls — 2*nfft MACs per complex
+#   sample for EVERY nfft, the same MXU cost/sample as the nfft=128
+#   kernel, with operators totalling N1*256KB (2 MB at nfft=1024).
+#
+# Output lanes per window come out (k1, k2)-ordered; true fine channel
+# k = N1*k2 + k1 is restored by a tiny (N1, 128) transpose in the XLA
+# epilogue. Waterfall grouping rides the grid: output spectrum
+# g = end_row // (nrow/nout), so out_specs map time tile t to group
+# t // tpg and the accumulator is zeroed on each group's first tile
+# (the same end-row convention as ops.pfb.pfb_spectra — two blocks with
+# history reproduce the one-shot golden group by group). Stokes mode
+# processes the two polarization series of a (chunk, channel) pair in one
+# kernel instance (they are adjacent rows of the corner turn) and forms
+# I/Q/U/V from the per-window channelizer outputs before the time fold.
+
+import math
+
+FUSED_NFFTS = (128, 256, 512, 1024)
+
+
+def _spectra_ops(nfft: int, ntap: int, window: str):
+    """FIR lane vectors + per-k1 twiddle-folded DFT operators.
+
+    Returns ``(cvecs (ntap, 2*nfft), mats (N1, 256, 256)) float32`` for
+    interleaved-lane input rows and ``[re(128) | im(128)]`` output columns.
+    """
+    from .pfb import pfb_coeffs
+
+    n1 = nfft // _L
+    c = pfb_coeffs(nfft, ntap, window, dtype=np.float64)   # (ntap, nfft)
+    cv = np.repeat(c, 2, axis=1)                           # interleaved
+    n2 = np.arange(_L)
+    k2 = np.arange(_L)
+    base = np.exp(-2j * np.pi * np.outer(n2, k2) / _L)     # (n2, k2)
+    mats = np.zeros((n1, 2 * _L, 2 * _L), np.float64)
+    for k1 in range(n1):
+        tw = np.exp(-2j * np.pi * n2 * k1 / nfft)          # W_N^(n2*k1)
+        m = tw[:, None] * base
+        mats[k1, 0::2, :_L] = m.real
+        mats[k1, 1::2, :_L] = -m.imag
+        mats[k1, 0::2, _L:] = m.imag
+        mats[k1, 1::2, _L:] = m.real
+    return cv.astype(np.float32), mats.astype(np.float32)
+
+
+def _spectra_kernel(ntap: int, n1: int, stokes: bool, has_history: bool,
+                    tpg: int, R: int, ngrp: int = 1,
+                    fold_rows: bool = False):
+    """Kernel body: FIR stencil -> stage-A N1-DFT -> N1 MXU DFTs -> detect
+    (power or Stokes) -> window-group accumulate. ``R``: windows per tile
+    (the input tile is ``R*n1`` narrow 256-lane rows). ``ngrp``: whole
+    output spectra per tile (> 1 when groups are smaller than an MXU-sized
+    tile — the tile then stores ``ngrp`` group accumulators at once and
+    ``tpg`` is 1). ``fold_rows`` (requires ``ngrp >= 8``): fully fold each
+    group to ONE output row and store ``(ngrp, ns*nfft)`` — at thousands of
+    spectra per block the 8-row partials otherwise rival the int16 input
+    stream in HBM traffic."""
+    npol = 2 if stokes else 1
+
+    def kernel(x_ref, fh_ref, fl_ref, h_ref, cv_ref, o_ref, buf):
+        t = pl.program_id(1)
+
+        if not fold_rows:
+            @pl.when(t % tpg == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def pol_rows(ref, p):
+            return ref[0, p] if stokes else ref[0]
+
+        # channelize each polarization: y_pol[p][k1] = (R, 256) [re|im].
+        # scratch is flat 2-D; polarization p's stencil rows live at
+        # [p*(R+8), p*(R+8)+R+ntap-1)
+        y_pol = []
+        for p in range(npol):
+            base = p * (R + 8)
+
+            @pl.when(t == 0)
+            def _(base=base, p=p):
+                buf[base:base + ntap - 1] = pol_rows(h_ref, p)[0:ntap - 1]
+
+            # HBM rows stay narrow (ndf, 256) — the only corner-turn layout
+            # XLA produces without a catastrophic padded relayout (a wide
+            # (nrow, 2*nfft) HBM array measured a 180 GB copy at full
+            # geometry). The widening to N1-frame window rows is a free
+            # in-VMEM value reshape here.
+            xw = pol_rows(x_ref, p).astype(jnp.float32)
+            buf[base + ntap - 1:base + ntap - 1 + R] = \
+                xw.reshape(R, xw.shape[0] // R * xw.shape[1])
+            z = cv_ref[0:1] * buf[base:base + R]
+            for k in range(1, ntap):
+                z = z + cv_ref[k:k + 1] * buf[base + k:base + k + R]
+            if not has_history:
+                # one-shot: windows ending before row ntap-1 don't exist
+                row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+                first = jnp.where(t == 0, ntap - 1, 0)
+                z = jnp.where(row >= first, z, 0.0)
+
+            def bf3(a, k1):
+                ahi = a.astype(jnp.bfloat16)
+                alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return (dot(ahi, fh_ref[k1]) + dot(ahi, fl_ref[k1])
+                        + dot(alo, fh_ref[k1]))
+
+            if n1 == 1:
+                y_pol.append([bf3(z, 0)])
+                continue
+            chunks = [z[:, 2 * _L * m:2 * _L * (m + 1)] for m in range(n1)]
+            lane = jax.lax.broadcasted_iota(jnp.int32, chunks[0].shape, 1)
+            even = (lane % 2) == 0
+            alt = jnp.where(even, -1.0, 1.0)
+            swaps = [alt * jnp.where(even, pltpu.roll(c, 2 * _L - 1, 1),
+                                     pltpu.roll(c, 1, 1))
+                     for c in chunks]
+            ys = []
+            for k1 in range(n1):
+                acc = None
+                for m in range(n1):
+                    ang = -2.0 * math.pi * m * k1 / n1
+                    wr, wi = math.cos(ang), math.sin(ang)
+                    term = None
+                    if abs(wr) > 1e-12:
+                        term = chunks[m] if abs(wr - 1.0) < 1e-12 \
+                            else wr * chunks[m]
+                    if abs(wi) > 1e-12:
+                        t2 = swaps[m] if abs(wi - 1.0) < 1e-12 \
+                            else wi * swaps[m]
+                        term = t2 if term is None else term + t2
+                    acc = term if acc is None else acc + term
+                ys.append(bf3(acc, k1))
+            y_pol.append(ys)
+
+        if fold_rows:
+            def store(q, s, k1):
+                full = jnp.sum(q.reshape(ngrp, R // ngrp, _L), axis=1)
+                o_ref[0, :, pl.ds((s * n1 + k1) * _L, _L)] = full
+        else:
+            def store(q, s, k1):
+                # (R, L) windows -> per-group (8, L) partials: rows fold
+                # within each of the tile's ngrp whole groups
+                part = jnp.sum(q.reshape(ngrp, R // (8 * ngrp), 8, _L),
+                               axis=1)
+                o_ref[0, :, 8 * s:8 * (s + 1), pl.ds(k1 * _L, _L)] += part
+
+        for k1 in range(n1):
+            if stokes:
+                yx, yy = y_pol[0][k1], y_pol[1][k1]
+                xr, xi = yx[:, 0:_L], yx[:, _L:2 * _L]
+                yr, yi = yy[:, 0:_L], yy[:, _L:2 * _L]
+                pxx = xr * xr + xi * xi
+                pyy = yr * yr + yi * yi
+                re = xr * yr + xi * yi                     # Re(x y*)
+                im = xi * yr - xr * yi                     # Im(x y*)
+                store(pxx + pyy, 0, k1)                    # I
+                store(pxx - pyy, 1, k1)                    # Q
+                store(2 * re, 2, k1)                       # U
+                store(2 * im, 3, k1)                       # V
+            else:
+                y = y_pol[0][k1]
+                p = y * y
+                store(p[:, 0:_L] + p[:, _L:2 * _L], 0, k1)
+
+        for p in range(npol):
+            base = p * (R + 8)
+            buf[base:base + ntap - 1] = buf[base + R:base + R + ntap - 1]
+
+    return kernel
+
+
+def _pick_spectra_tile(wpg: int, nout: int, nfft: int,
+                       npol: int) -> tuple[int, int, int]:
+    """Row tile for the spectra kernel: ``(R windows/tile, tiles/group,
+    groups/tile)``.
+
+    The cap budgets ~1 MB for the stencil scratch per pol — the kernel's
+    live temporaries (z, the per-chunk stage-A views/swaps, bf16 splits,
+    dot outputs) are all (R, lanes)-sized too and Mosaic stack-allocates
+    them against the 16 MB scoped-vmem limit (R=4096 at nfft=128 measured
+    21.8 MB on v5e — OOM; R<=1024 compiles with headroom). Large groups
+    split into ``tpg`` tiles accumulating into one spectrum; groups
+    smaller than the cap pack ``ngrp`` whole spectra per tile instead of
+    shrinking R (R=16 tiles measured 4x slower — sub-MXU matmuls)."""
+    cap = max(8, 2 ** 20 // (npol * nfft * 8))
+    if wpg >= cap:
+        r = 8
+        while r * 2 <= cap and wpg % (r * 2) == 0:
+            r *= 2
+        return r, wpg // r, 1
+    ngrp = 1
+    while ngrp * 2 * wpg <= cap and nout % (ngrp * 2) == 0:
+        ngrp *= 2
+    return ngrp * wpg, 1, ngrp
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "ntap", "window",
+                                             "nout", "stokes", "mean",
+                                             "shift", "return_history",
+                                             "interpret"))
+def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
+                      window: str = "hamming", nout: int = 1,
+                      stokes: bool = False, mean: bool = False,
+                      shift: bool = True,
+                      history: jax.Array | None = None,
+                      return_history: bool = False,
+                      interpret: bool = False):
+    """Fused composed spectrometer with the ``pfb.pfb_spectra`` contract.
+
+    ``block``: canonical 6-D int16 block or the 2-D device layout.
+    Output: ``(nout, nchan*nfft)`` float32 waterfall, or with ``stokes``
+    ``(nout, 4, nchan*nfft)`` I/Q/U/V (+ the overlap-save carry when
+    ``return_history``). ``nout=1, stokes=False`` reproduces
+    ``pfb_power_fused`` (kept: its single-operator body edges this one by
+    a few percent at nfft=128).
+    """
+    if nfft not in FUSED_NFFTS:
+        raise ValueError(f"fused spectra support nfft in {FUSED_NFFTS}")
+    if not 2 <= ntap <= 8:
+        raise ValueError("fused spectra support 2 <= ntap <= 8")
+    if block.ndim == 2:
+        ndf, lanes = block.shape
+        block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
+                                             NPOL_SAMP * 2),
+                              NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+    ndf, nchk = block.shape[0], block.shape[1]
+    npol = block.shape[4]
+    n1 = nfft // _L
+    if ndf % n1:
+        raise ValueError(f"ndf={ndf} must be a multiple of nfft/128={n1}")
+    nrow = ndf // n1                        # window rows per series
+    if nrow % nout:
+        raise ValueError(f"nout={nout} must divide {nrow} window rows")
+    wpg = nrow // nout
+    if wpg % 8 or wpg < max(8, ntap - 1):
+        raise ValueError(
+            f"windows per spectrum {wpg} must be a multiple of 8 and "
+            f">= ntap-1={ntap - 1}")
+    if stokes and npol != 2:
+        raise ValueError("Stokes needs 2 polarizations")
+    nseries = nchk * NCHAN_CHK * npol
+    R, tpg, ngrp = _pick_spectra_tile(wpg, nout, nfft, 2 if stokes else 1)
+
+    rows = _rows_i16(block)                 # (S, ndf, 256) interleaved
+    cvecs, mats = _spectra_ops(nfft, ntap, window)
+    f32 = jnp.asarray(mats)
+    fhi = f32.astype(jnp.bfloat16)
+    flo = (f32 - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    if history is not None:
+        h = history.reshape(nchk, NCHAN_CHK, npol, ntap - 1, nfft)
+        hrows = jnp.stack([jnp.real(h), jnp.imag(h)], axis=-1)
+        hrows = hrows.reshape(nseries, ntap - 1, 2 * nfft)
+    else:
+        hrows = jnp.zeros((nseries, ntap - 1, 2 * nfft), jnp.float32)
+    hpad = jnp.pad(hrows, ((0, 0), (0, 8 - (ntap - 1)), (0, 0)))
+    cvpad = jnp.asarray(np.pad(cvecs, ((0, 8 - ntap), (0, 0))))
+
+    ns = 4 if stokes else 1
+    fold_rows = ngrp >= 8
+    kernel = _spectra_kernel(ntap, n1, stokes, history is not None, tpg, R,
+                             ngrp, fold_rows)
+    if stokes:
+        npair = nseries // 2
+        grid = (npair, nrow // R)
+        in_specs = [
+            pl.BlockSpec((1, 2, R * n1, 2 * _L), lambda s, t: (s, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, 2 * _L, 2 * _L), lambda s, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, 2 * _L, 2 * _L), lambda s, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 2 * nfft), lambda s, t: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 2 * nfft), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (rows.reshape(npair, 2, ndf, 2 * _L), fhi, flo,
+                    hpad.reshape(npair, 2, 8, 2 * nfft), cvpad)
+        scratch = pltpu.VMEM((2 * (R + 8), 2 * nfft), jnp.float32)
+        lead = npair
+    else:
+        grid = (nseries, nrow // R)
+        in_specs = [
+            pl.BlockSpec((1, R * n1, 2 * _L), lambda s, t: (s, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, 2 * _L, 2 * _L), lambda s, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, 2 * _L, 2 * _L), lambda s, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 2 * nfft), lambda s, t: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 2 * nfft), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (rows, fhi, flo, hpad, cvpad)
+        scratch = pltpu.VMEM((R + 8, 2 * nfft), jnp.float32)
+        lead = nseries
+
+    if fold_rows:
+        out_specs = pl.BlockSpec((1, ngrp, ns * nfft),
+                                 lambda s, t: (s, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((lead, nout, ns * nfft),
+                                         jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((1, ngrp, 8 * ns, nfft),
+                                 lambda s, t, tpg=tpg: (s, t // tpg, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((lead, nout, 8 * ns, nfft),
+                                         jnp.float32)
+    part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[scratch],
+        interpret=interpret,
+    )(*operands)
+
+    if fold_rows:
+        q = part.reshape(lead, nout, ns, nfft)
+    else:
+        q = part.reshape(lead, nout, ns, 8, nfft).sum(axis=3)
+    if n1 > 1:
+        # lanes come out (k1, k2)-ordered; true fine channel k = N1*k2+k1
+        q = q.reshape(lead, nout, ns, n1, _L).swapaxes(-1, -2)
+        q = q.reshape(lead, nout, ns, nfft)
+    if stokes:
+        out = q.reshape(nchk, NCHAN_CHK, nout, 4, nfft)
+        out = out.transpose(2, 3, 0, 1, 4)            # (nout,4,chk,chan,k)
+    else:
+        out = q.reshape(nchk, NCHAN_CHK, npol, nout, nfft).sum(axis=2)
+        out = out.transpose(2, 0, 1, 3)               # (nout,chk,chan,k)
+    if mean:
+        nwin_g = jnp.full((nout,), float(wpg))
+        if history is None:
+            nwin_g = nwin_g.at[0].add(-(ntap - 1))
+        denom = nwin_g * (1 if stokes else npol)
+        shape = (nout,) + (1,) * (out.ndim - 1)
+        out = out / denom.reshape(shape)
+    if shift:
+        out = jnp.fft.fftshift(out, axes=-1)
+    out = out.reshape((nout, 4, -1) if stokes else (nout, -1))
+    if return_history:
+        halo = (ntap - 1) * nfft
+        halo_ndf = -(-halo // NSAMP_DF)
+        v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
+        return out, v_tail
+    return out
+
+
+def make_streaming_spectra_fused(nfft: int = _L, ntap: int = 4,
+                                 nout: int = 1, stokes: bool = False, **kw):
+    """``step(block, history) -> (spectra, new_history)``, fused path."""
+
+    @jax.jit
+    def step(block, history):
+        return pfb_spectra_fused(block, nfft, ntap, nout=nout, stokes=stokes,
+                                 history=history, return_history=True, **kw)
+
+    return step

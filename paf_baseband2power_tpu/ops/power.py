@@ -183,6 +183,42 @@ def baseband2stokes_2d(block2d: jax.Array, mean: bool = False) -> jax.Array:
     return stokes
 
 
+@functools.partial(jax.jit, static_argnames=("nout", "mean"))
+def baseband2stokes_scrunch_2d(block2d: jax.Array, nout: int,
+                               mean: bool = False) -> jax.Array:
+    """Composed Stokes x sub-block integration on the 2-D device layout:
+    ``(nout, 4, nchan)`` float32 (oracle:
+    ``ops.golden.baseband2stokes_scrunch_golden``).
+
+    Same single fused HBM pass as ``baseband2stokes_2d`` — the reduce just
+    keeps a window axis (the scrunch composition the reference's
+    one-integration-per-block design precludes, README.md:2).
+    """
+    ndf, lanes = block2d.shape
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    if lanes % (DT_SIZE // 2):
+        raise ValueError(f"lane dim {lanes} not a multiple of {DT_SIZE // 2}")
+    nchk = lanes // (DT_SIZE // 2)
+    ndf_w = ndf // nout
+    v = block2d.reshape(nout, ndf_w, lanes // 4, 2, 2).astype(jnp.float32)
+    xr, xi = v[..., 0, 0], v[..., 0, 1]
+    yr, yi = v[..., 1, 0], v[..., 1, 1]
+    xx = jnp.sum(xr * xr + xi * xi, axis=1)          # (nout, groups)
+    yy = jnp.sum(yr * yr + yi * yi, axis=1)
+    re = jnp.sum(xr * yr + xi * yi, axis=1)
+    im = jnp.sum(xi * yr - xr * yi, axis=1)
+    partial = jnp.stack([xx + yy, xx - yy, 2 * re, 2 * im], axis=1)
+    stokes = (
+        partial.reshape(nout, 4, nchk, NSAMP_DF, NCHAN_CHK)
+        .sum(axis=3)
+        .reshape(nout, 4, nchk * NCHAN_CHK)
+    )
+    if mean:
+        stokes = stokes / (ndf_w * NSAMP_DF)
+    return stokes
+
+
 def power_step(block: jax.Array) -> jax.Array:
     """The flagship single-chip forward step (jittable, donate-friendly)."""
     if block.ndim == 2:

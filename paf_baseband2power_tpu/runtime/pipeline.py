@@ -144,13 +144,25 @@ class PowerPipeline:
         self._stateful = bool(pfb_nfft)
         self._signed = stokes  # Q/U/V records are legitimately negative
         if power_fn is None:
-            if sum(map(bool, (pfb_nfft, stokes, nout > 1))) > 1:
-                raise ValueError(
-                    "stokes / PFB / sub-block integration are exclusive")
-            if nout > 1:
-                import functools
+            import functools
 
-                if jax.default_backend() == "tpu":
+            on_tpu = jax.default_backend() == "tpu"
+            if pfb_nfft and (stokes or nout > 1):
+                # composed fine-channel modes: PFB x Stokes, PFB x tscrunch
+                # waterfall, or all three — one streaming step (the fused
+                # Pallas kernel on TPU for supported nfft, XLA otherwise)
+                from ..ops.pfb import make_streaming_spectra
+
+                power_fn = make_streaming_spectra(
+                    pfb_nfft, pfb_ntap, nout=nout, stokes=stokes,
+                    window=pfb_window, mean=mean)
+            elif stokes and nout > 1:
+                from ..ops.power import baseband2stokes_scrunch_2d
+
+                power_fn = functools.partial(
+                    baseband2stokes_scrunch_2d, nout=nout, mean=mean)
+            elif nout > 1:
+                if on_tpu:
                     from ..ops.pallas_power import (
                         baseband2power_scrunch_pallas,
                     )
@@ -165,9 +177,7 @@ class PowerPipeline:
             elif pfb_nfft:
                 power_fn = self._pfb_fn(mean, pfb_nfft, pfb_ntap, pfb_window)
             elif stokes:
-                import functools
-
-                if jax.default_backend() == "tpu":
+                if on_tpu:
                     from ..ops.pallas_power import baseband2stokes_pallas
 
                     power_fn = functools.partial(

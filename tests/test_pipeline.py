@@ -150,3 +150,59 @@ def test_monitor_cli(tmp_path, capsys):
         assert rec["written"] == 1 and rec["full"] == 1
     finally:
         rb.destroy(key)
+
+
+def test_composed_modes_cli(tmp_path):
+    """The detection modes compose: --pfb x --nspectra (waterfall),
+    --pfb x --stokes (fine-channel polarimetry), --stokes x --nspectra."""
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+
+    nfft, ntap, nout = 32, 4, 2
+    bb = str(tmp_path / "bb.dada")
+    cli_gen.main(["-o", bb, "-n", "1", "--ndf", str(NDF),
+                  "--nchk", str(NCHK), "--seed", "40"])
+    block = F.synthetic_block(rng=40, ndf=NDF, nchk=NCHK)
+    scale = float(np.abs(block).max()) ** 2 * NDF * 128 * 4
+
+    # PFB x waterfall
+    pw = str(tmp_path / "wf.dada")
+    assert cli_b2p.main([
+        "-a", bb, "-b", pw, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--pfb", str(nfft), "--ntap", str(ntap), "--nspectra", str(nout),
+    ]) == 0
+    nchan_f = NCHK * 7 * nfft
+    with DadaFileReader(pw) as r:
+        assert r.header.get_int("NSBLK") == nout
+        recs = [np.frombuffer(b, "<f4").reshape(nout, nchan_f)
+                for b in r.blocks(nout * nchan_f * 4)]
+    want = _pfb.pfb_spectra_golden(block, nfft, ntap, nout=nout)
+    np.testing.assert_allclose(recs[0], want, rtol=2e-4, atol=1e-5 * scale)
+
+    # PFB x Stokes
+    ps = str(tmp_path / "st.dada")
+    assert cli_b2p.main([
+        "-a", bb, "-b", ps, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--pfb", str(nfft), "--ntap", str(ntap), "--stokes",
+    ]) == 0
+    with DadaFileReader(ps) as r:
+        assert r.header["STOKES"] == "IQUV"
+        recs = [np.frombuffer(b, "<f4").reshape(1, 4, nchan_f)
+                for b in r.blocks(4 * nchan_f * 4)]
+    want = _pfb.pfb_spectra_golden(block, nfft, ntap, stokes=True)
+    np.testing.assert_allclose(recs[0], want, rtol=2e-4, atol=1e-5 * scale)
+
+    # Stokes x waterfall (coarse channels)
+    ss = str(tmp_path / "ss.dada")
+    assert cli_b2p.main([
+        "-a", bb, "-b", ss, "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--stokes", "--nspectra", str(nout),
+    ]) == 0
+    with DadaFileReader(ss) as r:
+        assert r.header.get_int("NPOL") == 4
+        recs = [np.frombuffer(b, "<f4").reshape(nout, 4, NCHK * 7)
+                for b in r.blocks(nout * 4 * NCHK * 7 * 4)]
+    want = baseband2stokes_scrunch_golden(block, nout)
+    np.testing.assert_allclose(recs[0], want, rtol=2e-4, atol=1e-5 * scale)

@@ -144,3 +144,153 @@ def test_streaming_spectra_accepts_2d_layout():
     a, _ = step(jnp.asarray(block), None)
     b, _ = step(jnp.asarray(block.reshape(NDF, -1)), None)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+# --------------------------------------------------------------------------
+# Generalized fused Pallas kernel (interpret mode on CPU)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nout,stokes", [(1, False), (2, False), (1, True),
+                                         (2, True)])
+def test_fused_spectra_128_matches_golden(nout, stokes):
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=70, ndf=32, nchk=NCHK)
+    got = np.asarray(pfb_spectra_fused(jnp.asarray(block), 128, NTAP,
+                                       nout=nout, stokes=stokes,
+                                       interpret=True))
+    want = pfb.pfb_spectra_golden(block, 128, NTAP, nout=nout, stokes=stokes)
+    assert_close(got, want)
+
+
+@pytest.mark.parametrize("nfft,ndf", [(256, 16), (512, 32), (1024, 64)])
+def test_fused_spectra_large_nfft_matches_golden(nfft, ndf):
+    """Cooley-Tukey split (N1-point lane-block DFT + twiddle-folded 256x256
+    operators) vs the float64 golden at every supported size."""
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=71, ndf=ndf, nchk=1)
+    got = np.asarray(pfb_spectra_fused(jnp.asarray(block), nfft, NTAP,
+                                       interpret=True))
+    want = pfb.pfb_spectra_golden(block, nfft, NTAP)
+    assert_close(got, want)
+
+
+def test_fused_spectra_large_nfft_stokes_waterfall():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=72, ndf=32, nchk=1)
+    got = np.asarray(pfb_spectra_fused(jnp.asarray(block), 256, NTAP,
+                                       nout=2, stokes=True, interpret=True))
+    want = pfb.pfb_spectra_golden(block, 256, NTAP, nout=2, stokes=True)
+    assert_close(got, want)
+
+
+def test_fused_spectra_tone_localization_1024():
+    """A tone at fine channel k0 of a 1024-channelizer lands at k0 after
+    the (k1, k2) reorder -- catches any CT output-ordering mistake."""
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    nfft, ndf, k0 = 1024, 64, 137
+    nsamp = ndf * C.NSAMP_DF
+    n = np.arange(nsamp)
+    tone = 100.0 * np.exp(2j * np.pi * k0 * n / nfft)
+    block = np.zeros((ndf, 1, C.NSAMP_DF, C.NCHAN_CHK, 2, 2), np.int16)
+    series = tone.reshape(ndf, C.NSAMP_DF)
+    block[:, 0, :, 2, 0, 0] = np.round(series.real)
+    block[:, 0, :, 2, 0, 1] = np.round(series.imag)
+    got = np.asarray(pfb_spectra_fused(jnp.asarray(block), nfft, NTAP,
+                                       interpret=True))
+    grid = got.reshape(1, C.NCHAN_CHK, nfft)
+    hot = grid[0, 2]
+    assert int(hot.argmax()) == (k0 + nfft // 2) % nfft
+    assert grid.sum() - hot.sum() < 1e-5 * hot.sum()
+
+
+@pytest.mark.parametrize("nfft,ndf,stokes", [(128, 32, False),
+                                             (256, 16, True)])
+def test_fused_spectra_streaming_continuity(nfft, ndf, stokes):
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    b1 = F.synthetic_block(rng=73, ndf=ndf, nchk=NCHK)
+    b2 = F.synthetic_block(rng=74, ndf=ndf, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    p1, h1 = pfb_spectra_fused(jnp.asarray(b1), nfft, NTAP, stokes=stokes,
+                               return_history=True, interpret=True)
+    p2, h2 = pfb_spectra_fused(jnp.asarray(b2), nfft, NTAP, stokes=stokes,
+                               history=h1, return_history=True,
+                               interpret=True)
+    want = pfb.pfb_spectra_golden(both, nfft, NTAP, nout=2, stokes=stokes)
+    assert_close(np.asarray(p1), want[:1])
+    assert_close(np.asarray(p2), want[1:])
+    ref = pfb.pfb_history(jnp.asarray(b2), nfft, NTAP)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+
+
+def test_fused_spectra_agrees_with_xla_and_2d():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=75, ndf=32, nchk=NCHK)
+    a = np.asarray(pfb_spectra_fused(jnp.asarray(block), 128, NTAP, nout=2,
+                                     stokes=True, mean=True, interpret=True))
+    b = np.asarray(pfb.pfb_spectra(jnp.asarray(block), 128, NTAP, nout=2,
+                                   stokes=True, mean=True, method="matmul"))
+    np.testing.assert_allclose(a, b, rtol=2e-4,
+                               atol=1e-5 * float(np.abs(b).max()))
+    c = np.asarray(pfb_spectra_fused(jnp.asarray(block.reshape(32, -1)),
+                                     128, NTAP, nout=2, stokes=True,
+                                     mean=True, interpret=True))
+    np.testing.assert_allclose(a, c)
+
+
+def test_fused_spectra_validation():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = jnp.asarray(F.synthetic_block(rng=76, ndf=32, nchk=1))
+    with pytest.raises(ValueError):
+        pfb_spectra_fused(block, 192, interpret=True)      # unsupported nfft
+    with pytest.raises(ValueError):
+        pfb_spectra_fused(block, 128, nout=3, interpret=True)  # not divisor
+    with pytest.raises(ValueError):
+        pfb_spectra_fused(block, 128, nout=8, interpret=True)  # wpg < 8
+
+
+def test_fused_spectra_fold_rows_path():
+    """High-nout waterfall (ngrp>=8 -> one-row-per-spectrum stores)."""
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=77, ndf=64, nchk=1)
+    for stokes in (False, True):
+        got = np.asarray(pfb_spectra_fused(jnp.asarray(block), 128, NTAP,
+                                           nout=8, stokes=stokes,
+                                           interpret=True))
+        want = pfb.pfb_spectra_golden(block, 128, NTAP, nout=8,
+                                      stokes=stokes)
+        assert_close(got, want)
+
+
+# --------------------------------------------------------------------------
+# Non-PFB Stokes x tscrunch composition (coarse channels)
+# --------------------------------------------------------------------------
+
+def test_stokes_scrunch_golden_and_xla():
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_golden,
+        baseband2stokes_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.ops.power import baseband2stokes_scrunch_2d
+
+    block = F.synthetic_block(rng=80, ndf=16, nchk=NCHK)
+    want = baseband2stokes_scrunch_golden(block, 4)
+    assert want.shape == (4, 4, NCHK * C.NCHAN_CHK)
+    # nout=1 equals plain Stokes
+    np.testing.assert_allclose(
+        baseband2stokes_scrunch_golden(block, 1)[0],
+        baseband2stokes_golden(block), rtol=1e-6)
+    got = np.asarray(baseband2stokes_scrunch_2d(
+        jnp.asarray(block.reshape(16, -1)), 4))
+    assert_close(got, want, rtol=1e-4)
+    got_m = np.asarray(baseband2stokes_scrunch_2d(
+        jnp.asarray(block.reshape(16, -1)), 4, mean=True))
+    want_m = baseband2stokes_scrunch_golden(block, 4, mean=True)
+    assert_close(got_m, want_m, rtol=1e-4)
