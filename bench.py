@@ -189,6 +189,21 @@ def main():
 
             def step(b):
                 return baseband2power_scrunch_2d(b, nout)
+    elif args.pfb and (args.stokes or args.scrunch):
+        # composed fine-channel modes ride the same streaming step
+        from paf_baseband2power_tpu.ops.pfb import make_streaming_spectra
+
+        nout = args.scrunch or 1
+        pfb_step = make_streaming_spectra(args.pfb, 4, nout=nout,
+                                          stokes=args.stokes)
+        label = (f"pfb nfft={args.pfb} x "
+                 + ("stokes" if args.stokes else "")
+                 + (f" x nout={nout}" if nout > 1 else ""))
+        history = {}
+
+        def step(b):
+            out, history["h"] = pfb_step(b, history.get("h"))
+            return out
     elif args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                     help="frames per global block")
     ap.add_argument("--nchk", type=int, default=8, help="frequency chunks")
     ap.add_argument("--mean", action="store_true")
+    ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
+                    help="fine-channelize (PFB) before detection; the "
+                    "overlap-save halo crosses hosts over DCN")
+    ap.add_argument("--ntap", type=int, default=4, help="PFB taps")
     ap.add_argument("--fetch-every", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats-json", action="store_true")
@@ -46,7 +50,8 @@ def main(argv=None) -> int:
 
     runner = MultihostRunner(nbeam_total=args.nbeam, ndf=args.ndf,
                              nchk=args.nchk, mean=args.mean,
-                             log_dir=args.dir)
+                             log_dir=args.dir, pfb_nfft=args.pfb,
+                             pfb_ntap=args.ntap)
 
     if args.input.startswith("synthetic"):
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4

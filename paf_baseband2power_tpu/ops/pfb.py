@@ -764,12 +764,27 @@ def make_streaming_pfb(nfft: int, ntap: int = 4,
     in-kernel; pass ``method="fft"`` to force the XLA path.
     """
     method = kw.get("method", "auto")
-    if (nfft == _SLIDE_LANES and method in ("auto", "matmul")
-            and jax.default_backend() == "tpu"):
-        from .pallas_pfb import make_streaming_pfb_fused
-
+    if method in ("auto", "matmul") and jax.default_backend() == "tpu":
         kw2 = {k: v for k, v in kw.items() if k != "method"}
-        return make_streaming_pfb_fused(nfft, ntap, **kw2)
+        if nfft == _SLIDE_LANES:
+            from .pallas_pfb import make_streaming_pfb_fused
+
+            return make_streaming_pfb_fused(nfft, ntap, **kw2)
+        from .pallas_pfb import FUSED_NFFTS
+
+        if nfft in FUSED_NFFTS:
+            # generalized fused kernel (Cooley-Tukey N1 x 128); squeeze the
+            # nout=1 spectra axis back to the pfb_power record contract
+            from .pallas_pfb import make_streaming_spectra_fused
+
+            inner = make_streaming_spectra_fused(nfft, ntap, **kw2)
+
+            @jax.jit
+            def step(block, history):
+                out, h = inner(block, history)
+                return out[0], h
+
+            return step
 
     @jax.jit
     def step(block, history):

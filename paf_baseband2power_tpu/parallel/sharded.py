@@ -185,6 +185,91 @@ def make_sharded_scrunch_step(mesh, nout: int, mean: bool = False):
     return jax.jit(step)
 
 
+def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
+                              window: str = "hamming", nout: int = 1,
+                              stokes: bool = False, mean: bool = False,
+                              shift: bool = True):
+    """Multi-device composed fine-channel detection: PFB x tscrunch
+    waterfall x Stokes under ``shard_map``.
+
+    Communication: the same ppermute overlap-save halo as
+    ``make_sharded_pfb_step`` plus one psum of the grouped spectra over
+    the time axis. Windows are owned by their *starting* shard; the
+    end-row group convention of ``ops.pfb.pfb_spectra`` is realized by
+    scattering each shard's windows into global window slots
+    (``dynamic_update_slice`` at the shard's slot offset) before the
+    group fold — so shard boundaries need not align with output spectra.
+    Output: ``(nout, [4,] nchk*7*nfft)`` float32, channels sharded over
+    ``chunk``, the spectra/Stokes axes replicated (tiny).
+    """
+    from ..constants import NSAMP_DF
+    from ..ops.pfb import (
+        _MATMUL_NFFT_MAX,
+        _block_to_series,
+        _spectra_detect,
+        pfb_coeffs,
+        pfb_matmul_weights,
+    )
+
+    n_time = mesh.shape[TIME_AXIS]
+    halo_len = (ntap - 1) * nfft
+    method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    ops_np = (pfb_matmul_weights(nfft, ntap, window) if method == "matmul"
+              else pfb_coeffs(nfft, ntap, window))
+    out_spec = P(None, None, CHUNK_AXIS) if stokes else P(None, CHUNK_AXIS)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(TIME_AXIS, CHUNK_AXIS),
+        out_specs=out_spec,
+    )
+    def step(block):
+        nblk_local = block.shape[0] * NSAMP_DF // nfft
+        slots_total = n_time * nblk_local
+        if slots_total % nout:
+            raise ValueError(f"nout={nout} must divide {slots_total} slots")
+        wpg = slots_total // nout
+        if wpg < max(ntap - 1, 1):
+            raise ValueError(f"windows per spectrum {wpg} < ntap-1")
+        v = _block_to_series(block)
+        tid = jax.lax.axis_index(TIME_AXIS)
+        if n_time > 1:
+            halo = v[..., :halo_len]
+            halo_prev = jax.lax.ppermute(
+                halo, TIME_AXIS,
+                perm=[(i, i - 1) for i in range(1, n_time)])
+            v = jnp.concatenate([v, halo_prev], axis=-1)
+        ops = (tuple(jnp.asarray(o) for o in ops_np)
+               if method == "matmul" else jnp.asarray(ops_np))
+        s = _spectra_detect(v, nfft, stokes, method, ops)
+        nwin_l = s.shape[-2]
+        if n_time > 1:
+            # last shard received a zero halo: mask its tail windows
+            win = jax.lax.broadcasted_iota(jnp.int32, (nwin_l, 1), 0)
+            valid = (tid < n_time - 1) | (win < nwin_l - (ntap - 1))
+            s = s * valid.astype(s.dtype)
+        buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft),
+                        s.dtype)
+        start = tid * nblk_local + (ntap - 1)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start, axis=-2)
+        g = buf[..., :slots_total, :].reshape(
+            s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
+        g = jax.lax.psum(g, TIME_AXIS)
+        if mean:
+            nwin_g = jnp.full((nout,), float(wpg))
+            nwin_g = nwin_g.at[0].add(-(ntap - 1))    # one-shot group 0
+            npol = block.shape[4]
+            g = g / (nwin_g * (1 if stokes else npol))[:, None]
+        if shift:
+            g = jnp.fft.fftshift(g, axes=-1)
+        ns = g.shape[2]
+        out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
+        return out if stokes else out[:, 0]
+
+    return jax.jit(step)
+
+
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
                           window: str = "hamming", mean: bool = False,
                           shift: bool = True):
@@ -240,5 +325,69 @@ def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
         if shift:
             power = jnp.fft.fftshift(power, axes=-1)
         return power.reshape(-1)
+
+    return jax.jit(step)
+
+
+def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
+                               window: str = "hamming", mean: bool = False,
+                               shift: bool = True):
+    """PFB spectrometer on the production multi-host mesh: 2-D-per-beam
+    blocks sharded ``P(beam, time, chunk)``.
+
+    The per-beam body is the same halo-exchange channelizer as
+    ``make_sharded_pfb_step`` (ppermute leading samples to the previous
+    time shard, psum partial spectra) vmapped over this shard's beams —
+    collectives over the ``time`` mesh axis compose with vmap, so when
+    host boundaries land on the time axis the overlap-save halo crosses
+    processes over DCN. One-shot per block (no cross-block carry).
+    Output ``(nbeam, nchk*7*nfft)`` sharded ``P(beam, chunk)``.
+    """
+    from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
+    from ..ops.pfb import _block_to_series, channelize, pfb_coeffs
+
+    n_time = mesh.shape[TIME_AXIS]
+    halo_len = (ntap - 1) * nfft
+    coeffs_np = pfb_coeffs(nfft, ntap, window)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(BEAM_AXIS, CHUNK_AXIS),
+    )
+    def step(blocks):
+        nbeam_l, ndf_l, lanes_l = blocks.shape
+        nchk_l = lanes_l // (DT_SIZE // 2)
+        tid = jax.lax.axis_index(TIME_AXIS)
+
+        def one(b2d):
+            block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
+                                 NPOL_SAMP, NDIM_POL)
+            v = _block_to_series(block6)
+            if n_time > 1:
+                halo = v[..., :halo_len]
+                halo_prev = jax.lax.ppermute(
+                    halo, TIME_AXIS,
+                    perm=[(i, i - 1) for i in range(1, n_time)])
+                v = jnp.concatenate([v, halo_prev], axis=-1)
+            y = channelize(v, jnp.asarray(coeffs_np))
+            p = y.real * y.real + y.imag * y.imag
+            nwin = p.shape[-2]
+            if n_time > 1:
+                win = jax.lax.broadcasted_iota(jnp.int32, (nwin, 1), 0)
+                valid = (tid < n_time - 1) | (win < nwin - (ntap - 1))
+                p = p * valid.astype(p.dtype)
+            power = p.sum(axis=(2, 3))
+            power = jax.lax.psum(power, TIME_AXIS)
+            if mean:
+                total_win = jax.lax.psum(nwin, TIME_AXIS) - (
+                    0 if n_time == 1 else (ntap - 1))
+                power = power / (p.shape[2] * total_win)
+            if shift:
+                power = jnp.fft.fftshift(power, axes=-1)
+            return power.reshape(-1)
+
+        return jax.vmap(one)(blocks)
 
     return jax.jit(step)

@@ -49,14 +49,25 @@ class MultihostRunner:
 
     def __init__(self, nbeam_total: int = 1, ndf: int = C.NDF_BLK,
                  nchk: int = C.NCHK_NIC, n_beam_mesh: int | None = None,
-                 mean: bool = False, log_dir: str | None = None):
+                 mean: bool = False, log_dir: str | None = None,
+                 pfb_nfft: int = 0, pfb_ntap: int = 4):
         init_distributed()
         self.nbeam_total = nbeam_total
         self.ndf, self.nchk = ndf, nchk
         n_beam_mesh = n_beam_mesh or min(nbeam_total, jax.device_count())
         self.mesh = global_mesh(n_beam=n_beam_mesh)
         self.slice = process_block_slice(self.mesh, nbeam_total, ndf)
-        self.step = make_multibeam_power_step_2d(self.mesh, mean=mean)
+        if pfb_nfft:
+            # fine-channel spectrometer: the overlap-save halo ppermutes
+            # over the global time axis, so with host boundaries on time
+            # the FIR history crosses processes over DCN (one-shot per
+            # block)
+            from ..parallel.sharded import make_multibeam_pfb_step_2d
+
+            self.step = make_multibeam_pfb_step_2d(
+                self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, mean=mean)
+        else:
+            self.step = make_multibeam_power_step_2d(self.mesh, mean=mean)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.sharding = NamedSharding(

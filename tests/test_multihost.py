@@ -179,3 +179,24 @@ def test_local_shape_validation():
     runner = MultihostRunner(nbeam_total=1, ndf=NDF, nchk=NCHK)
     with pytest.raises(ValueError):
         runner.assemble(np.zeros((1, NDF // 2, 8), np.int16))
+
+
+def test_two_process_pfb_halo(tmp_path):
+    """PFB across processes: the overlap-save halo ppermutes from the
+    first time shard of process 1 to the last time shard of process 0 —
+    FIR history crossing a real OS-process (DCN-style) boundary."""
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+
+    nfft, ntap = 16, 4
+    out = str(tmp_path / "spec.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "1",
+                    "--ndf", str(NDF), "--nchk", str(NCHK),
+                    "--pfb", str(nfft), "--ntap", str(ntap)], tmp_path)
+    nchan_f = NCHK * C.NCHAN_CHK * nfft
+    recs = _read_power(out, nchan_f)
+    assert len(recs) == NBLOCKS
+    for i, rec in enumerate(recs):
+        want = _pfb.pfb_power_golden(
+            synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nfft, ntap)
+        np.testing.assert_allclose(rec, want, rtol=2e-4,
+                                   err_msg=f"block {i}")

@@ -233,3 +233,45 @@ def test_run_multibeam_validation():
     mesh = M.make_beam_mesh(n_beam=2, n_time=4)
     with pytest.raises(ValueError):
         run_multibeam([RP.SyntheticSource(1, 16, 8)], mesh, [RP.MemorySink()])
+
+
+# ---------------------------------------------------------------------------
+# Sharded composed spectra (PFB x waterfall x Stokes with halo exchange)
+# ---------------------------------------------------------------------------
+
+def _run_spectra(mesh, block, **kw):
+    step = S.make_sharded_spectra_step(mesh, NFFT, NTAP, **kw)
+    return np.asarray(step(S.shard_block(jnp.asarray(block), mesh)))
+
+
+def _spectra_close(got, want, rtol=2e-4):
+    atol = 1e-5 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("nout,stokes", [(4, False), (1, True), (4, True)])
+def test_sharded_spectra_time_halo_parity(pfb_block, nout, stokes):
+    """Composed modes across 8 time shards: ppermute halos + window
+    scatter by end-row slot reproduce the one-shot golden even when shard
+    boundaries do not align with output spectra."""
+    got = _run_spectra(M.make_mesh(n_time=8), pfb_block, nout=nout,
+                       stokes=stokes)
+    want = _pfb.pfb_spectra_golden(pfb_block, NFFT, NTAP, nout=nout,
+                                   stokes=stokes)
+    _spectra_close(got, want)
+
+
+def test_sharded_spectra_2d_and_mean(pfb_block):
+    got = _run_spectra(M.make_mesh(n_time=4, n_chunk=2), pfb_block,
+                       nout=4, stokes=True, mean=True)
+    want = _pfb.pfb_spectra_golden(pfb_block, NFFT, NTAP, nout=4,
+                                   stokes=True, mean=True)
+    _spectra_close(got, want)
+
+
+def test_sharded_spectra_unaligned_groups(pfb_block):
+    """nout=2 over 8 time shards: four shards' windows fold into each
+    output spectrum, crossing every shard boundary."""
+    got = _run_spectra(M.make_mesh(n_time=8), pfb_block, nout=2)
+    want = _pfb.pfb_spectra_golden(pfb_block, NFFT, NTAP, nout=2)
+    _spectra_close(got, want)
