@@ -191,12 +191,15 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     cx.join()
     stats = result["stats"]
 
+    import jax
+
     port_stats = eng.port_stats()
     total_recv = sum(s.received for s in port_stats)
     total_exp = sum(s.expected for s in port_stats)
     loss = max(0.0, 1 - total_recv / total_exp) if total_exp else 1.0
     expected_blocks = total_frames // args.ndf
     report = {
+        "backend": jax.default_backend(),
         "seconds": args.seconds,
         "rate_x_realtime": args.rate,
         "sender": args.sender,
