@@ -155,6 +155,47 @@ def bench_capture(seconds: float = 2.0, nchk: int = 8, nports: int = 2,
     }
 
 
+def bench_sender_only(nchk: int = 8, nports: int = 2,
+                      port_base: int = 28700,
+                      nframes: int = 40000) -> dict:
+    """Pure sender ceiling: frames into bound-but-unread sockets (send-path
+    cost identical; no capture contending for cores). Separates the
+    sender's own limit from the colocated-stress figure above — r2 read
+    the 334k fps contention number as the sender ceiling; it is not."""
+    import socket
+
+    sys.path.insert(0, ".")
+    from paf_baseband2power_tpu import constants as C
+    from paf_baseband2power_tpu.io.sender import stream_frames_native
+
+    socks = []
+    for p in range(nports):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+        s.bind(("127.0.0.1", port_base + p))
+        socks.append(s)
+    best = {}
+    try:
+        for burst in (8, 16, 64, 256):
+            t0 = time.perf_counter()
+            n = stream_frames_native(
+                host="127.0.0.1", port_base=port_base, nports=nports,
+                nchk=nchk, idf0=0, nframes=nframes, rate=0.0, burst=burst)
+            fps = n / (time.perf_counter() - t0)
+            if not best or fps > best["frames_per_sec"]:
+                best = {"burst": burst, "frames_per_sec": fps}
+    finally:
+        for s in socks:
+            s.close()
+    best.update({
+        "metric": "native sender ceiling (no colocated capture)",
+        "GBps": best["frames_per_sec"] * C.DF_SIZE / 1e9,
+        # x vs the full 48-chunk BMF rate (444,444 frames/s, capture.h:30)
+        "x_bmf_rate": best["frames_per_sec"] / (C.NCHK_NIC / C.TDF_SEC),
+    })
+    return best
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -164,6 +205,7 @@ def main() -> int:
     report = {
         "physical_cores": len(os.sched_getaffinity(0)),
         "ring": bench_ring(),
+        "sender_only": bench_sender_only(),
         "capture": bench_capture(),
     }
     print(json.dumps(report, indent=1))
