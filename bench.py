@@ -160,7 +160,40 @@ def main():
         return
 
     ndf = 256 if args.quick else C.NDF_BLK
-    if args.stokes:
+    if args.pfb and (args.stokes or args.scrunch):
+        # composed fine-channel modes ride the same streaming step
+        from paf_baseband2power_tpu.ops.pfb import make_streaming_spectra
+
+        nout = args.scrunch or 1
+        pfb_step = make_streaming_spectra(args.pfb, 4, nout=nout,
+                                          stokes=args.stokes)
+        label = (f"pfb nfft={args.pfb}"
+                 + (" x stokes" if args.stokes else "")
+                 + (f" x nout={nout}" if nout > 1 else ""))
+        history = {}
+
+        def step(b):
+            out, history["h"] = pfb_step(b, history.get("h"))
+            return out
+    elif args.stokes and args.scrunch:
+        nout = args.scrunch
+        if jax.default_backend() == "tpu":
+            from paf_baseband2power_tpu.ops.pallas_power import (
+                baseband2stokes_scrunch_pallas,
+            )
+            label = f"stokes x scrunch pallas nout={nout}"
+
+            def step(b):
+                return baseband2stokes_scrunch_pallas(b, nout)
+        else:
+            from paf_baseband2power_tpu.ops.power import (
+                baseband2stokes_scrunch_2d,
+            )
+            label = f"stokes x scrunch xla nout={nout}"
+
+            def step(b):
+                return baseband2stokes_scrunch_2d(b, nout)
+    elif args.stokes:
         if jax.default_backend() == "tpu":
             from paf_baseband2power_tpu.ops.pallas_power import (
                 baseband2stokes_pallas as step,
@@ -189,21 +222,6 @@ def main():
 
             def step(b):
                 return baseband2power_scrunch_2d(b, nout)
-    elif args.pfb and (args.stokes or args.scrunch):
-        # composed fine-channel modes ride the same streaming step
-        from paf_baseband2power_tpu.ops.pfb import make_streaming_spectra
-
-        nout = args.scrunch or 1
-        pfb_step = make_streaming_spectra(args.pfb, 4, nout=nout,
-                                          stokes=args.stokes)
-        label = (f"pfb nfft={args.pfb} x "
-                 + ("stokes" if args.stokes else "")
-                 + (f" x nout={nout}" if nout > 1 else ""))
-        history = {}
-
-        def step(b):
-            out, history["h"] = pfb_step(b, history.get("h"))
-            return out
     elif args.pfb:
         from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
 

@@ -40,6 +40,14 @@ def main(argv=None) -> int:
                     help="frames per block override")
     ap.add_argument("--nchk", type=int, default=None,
                     help="chunk count override")
+    ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
+                    help="channelize before detection (forwarded to the "
+                    "compute stage; output ring sized accordingly)")
+    ap.add_argument("--ntap", type=int, default=4)
+    ap.add_argument("--stokes", action="store_true",
+                    help="full-Stokes records (4 x nchan)")
+    ap.add_argument("--nspectra", type=int, default=1,
+                    help="sub-block integration: N spectra per block")
     ap.add_argument("--keep-rings", action="store_true")
     ap.add_argument("--lock-rings", action="store_true",
                     help="mlock ring segments in every attaching process "
@@ -62,10 +70,26 @@ def main(argv=None) -> int:
     ndf, nchk = conf.diskdb.ndf, conf.basic.nchk_nic
     out_path = os.path.join(args.outdir, args.output)
 
+    # detection-mode flags forwarded to the compute stage; the output
+    # ring block must hold one full record (the reference hard-codes
+    # nchan*nbyte = 1344 B, paf-baseband2power.py:79 — composed modes
+    # scale it by fine channels, Stokes rows, and spectra per block)
+    mode_args = []
+    record_floats = nchk * 7
+    if args.pfb:
+        mode_args += ["--pfb", str(args.pfb), "--ntap", str(args.ntap)]
+        record_floats *= args.pfb
+    if args.stokes:
+        mode_args += ["--stokes"]
+        record_floats *= 4
+    if args.nspectra > 1:
+        mode_args += ["--nspectra", str(args.nspectra)]
+        record_floats *= args.nspectra
+
     if args.mode == "file":
         from .paf_baseband2power import main as b2p
         return b2p(["-a", args.input, "-b", out_path, "-c", args.outdir,
-                    "--ndf", str(ndf), "--nchk", str(nchk)])
+                    "--ndf", str(ndf), "--nchk", str(nchk)] + mode_args)
 
     from ..io import ringbuffer as rb
 
@@ -82,7 +106,8 @@ def main(argv=None) -> int:
     # NREADER from the config (dada_db -r, paf-baseband2power.py:114)
     rb.create(key_in, conf.diskdb_rbufsz, conf.diskdb.nblk,
               nreader=conf.diskdb.nreader, lock_pages=args.lock_rings)
-    rb.create(key_out, conf.baseband2power_rbufsz, conf.baseband2power.nblk,
+    out_bufsz = max(conf.baseband2power_rbufsz, record_floats * 4)
+    rb.create(key_out, out_bufsz, conf.baseband2power.nblk,
               nreader=conf.baseband2power.nreader,
               lock_pages=args.lock_rings)
     log.info("created rings: %s (%d x %d B), %s (%d x %d B)",
@@ -103,8 +128,9 @@ def main(argv=None) -> int:
             ("diskdb", "paf_diskdb",
              ["-a", key_in, "-b", args.outdir, "-c", args.input], 0),
             ("baseband2power", "paf_baseband2power",
-             ["-a", key_in, "-b", key_out, "-c", args.outdir,
-              "--ndf", str(ndf), "--nchk", str(nchk)], 1),
+             ["-a", f"ring:{key_in}", "-b", f"ring:{key_out}",
+              "-c", args.outdir,
+              "--ndf", str(ndf), "--nchk", str(nchk)] + mode_args, 1),
             ("dbdisk", "paf_dbdisk",
              ["-k", key_out, "-D", args.outdir, "-o", args.output, "-W"], 2),
         ]

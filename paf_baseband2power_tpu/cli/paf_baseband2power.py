@@ -106,14 +106,20 @@ def main(argv=None) -> int:
     from ..io.dada import output_header
 
     # --- source -----------------------------------------------------------
+    # "ring:KEY" addresses a ring buffer explicitly; a bare hex token is
+    # also treated as a ring key (the reference's dada key convention) —
+    # non-hex ring keys MUST use the explicit prefix or they are read as
+    # file paths
     if args.input.startswith("synthetic"):
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4
         source = SyntheticSource(n, ndf=args.ndf, nchk=args.nchk)
         in_header = None
-    elif looks_like_ring_key(args.input):
+    elif args.input.startswith("ring:") or looks_like_ring_key(args.input):
         from ..io.ringbuffer import RingSource
 
-        source = RingSource(args.input, ndf=args.ndf, nchk=args.nchk)
+        key = args.input.split(":", 1)[1] \
+            if args.input.startswith("ring:") else args.input
+        source = RingSource(key, ndf=args.ndf, nchk=args.nchk)
         in_header = source.header
     else:
         source = FileSource(args.input, ndf=args.ndf, nchk=args.nchk)
@@ -141,10 +147,12 @@ def main(argv=None) -> int:
         # finer output cadence: TSAMP shrinks by the sub-integration factor
         hdr["TSAMP"] = str(float(hdr["TSAMP"]) / args.nspectra)
         hdr["NSBLK"] = str(args.nspectra)
-    if looks_like_ring_key(args.output):
+    if args.output.startswith("ring:") or looks_like_ring_key(args.output):
         from ..io.ringbuffer import RingSink
 
-        sink = RingSink(args.output, header=hdr)
+        key = args.output.split(":", 1)[1] \
+            if args.output.startswith("ring:") else args.output
+        sink = RingSink(key, header=hdr)
     else:
         sink = FileSink(args.output, header=hdr)
 

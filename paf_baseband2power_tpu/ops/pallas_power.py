@@ -314,6 +314,121 @@ def baseband2power_scrunch_pallas(block2d: jax.Array, nout: int,
     return power
 
 
+def _make_stokes_scrunch_kernel(tpw: int, wpb: int):
+    """Stokes x sub-block integration tile (one frequency chunk wide).
+
+    The four cross-product banks of ``_stokes_kernel``, each folded to ONE
+    sublane row per window (``_make_scrunch_kernel`` fold pattern, two
+    windows per (8, 128) output block) AND sample-folded in-kernel by the
+    ``_scrunch_fused_kernel`` stride-28 roll-orbit — so output HBM traffic
+    is 128 floats per (window, bank, chunk). The obvious alternative —
+    store (nout*4, lanes) bank partials and fold in XLA — is 2.8 GB of
+    partials at nout=1024 whose ``(..., 7, 4)`` epilogue reshape XLA lays
+    out T(8,128)-padded at 90 GB (measured OOM).
+
+    Unlike the power orbit, pol/dim components must stay distinct (the
+    Stokes algebra selects them per bank), so the orbit starts at the full
+    28-lane (chan x comp) class stride with no pre-fold: after the tree,
+    lane ``l`` of the head 128 holds its ``(chan, comp) = (l//4, l%4)``
+    class summed over all 128 sample positions.
+    """
+
+    def kernel(x_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t % (tpw * wpb) == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        x = x_ref[:].astype(jnp.float32)
+        lt = x.shape[1]                       # == LANES_PER_CHUNK
+        r1 = pltpu.roll(x, lt - 1, 1)
+        r2 = pltpu.roll(x, lt - 2, 1)
+        r3 = pltpu.roll(x, lt - 3, 1)
+        row = ((t // tpw) % wpb) * 4
+
+        def fold(prod):
+            v = jnp.sum(prod, axis=0, keepdims=True)     # (1, 3584)
+            d = _FOLD * NCHAN_CHK                        # 28-lane classes
+            while d < lt:
+                v = v + pltpu.roll(v, lt - d, 1)
+                d *= 2
+            return v[:, 0:128]
+
+        o_ref[pl.ds(row, 1), :] += fold(x * x)
+        o_ref[pl.ds(row + 1, 1), :] += fold(x * r2)
+        o_ref[pl.ds(row + 2, 1), :] += fold(x * r1)
+        o_ref[pl.ds(row + 3, 1), :] += fold(x * r3)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nout", "mean", "interpret"))
+def baseband2stokes_scrunch_pallas(block2d: jax.Array, nout: int,
+                                   mean: bool = False,
+                                   interpret: bool = False) -> jax.Array:
+    """Composed Stokes x sub-block integration -> ``(nout, 4, nchan)``.
+
+    Same lane-roll cross products as ``baseband2stokes_pallas``, same
+    window structure as ``baseband2power_scrunch_pallas`` (oracle:
+    ``ops.golden.baseband2stokes_scrunch_golden``). The XLA formulation
+    (``ops.power.baseband2stokes_scrunch_2d``) is impractical at full
+    geometry on v5e: its strided re/im extraction with a window axis
+    neither compiles nor runs in bounded time. Measured (v5e, full
+    geometry): nout=64 ~43 ms/block (~21x real time).
+    """
+    ndf, lanes = block2d.shape
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide ndf={ndf}")
+    if lanes % LANES_PER_CHUNK:
+        raise ValueError(f"lane dim {lanes} not a multiple of {LANES_PER_CHUNK}")
+    if nout % 2:
+        raise ValueError(f"nout={nout} must be even (2 windows per "
+                         "output block)")
+    nchk = lanes // LANES_PER_CHUNK
+    ndf_w = ndf // nout
+    wpb = 2
+    # time tile: a power-of-two slice of one window, <= 512 KB of int16
+    # per chunk-wide tile (the four product banks live as (tdf, 3584) f32
+    # temporaries against the 16 MB scoped-vmem budget)
+    tdf = ndf_w
+    while tdf > 8 and (ndf_w % tdf or tdf * LANES_PER_CHUNK * 2 > 2 ** 19):
+        tdf //= 2
+    if ndf_w % tdf:
+        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
+                         "tile split")
+    tpw = ndf_w // tdf
+
+    part = pl.pallas_call(
+        _make_stokes_scrunch_kernel(tpw, wpb),
+        grid=(nchk, ndf // tdf),
+        in_specs=[
+            pl.BlockSpec((tdf, LANES_PER_CHUNK), lambda l, t: (t, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * wpb, 128),
+            lambda l, t, tpb=tpw * wpb: (t // tpb, l),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nout * 4, nchk * 128), jnp.float32),
+        interpret=interpret,
+    )(block2d)
+
+    # epilogue on (chan x comp) classes via strided lane slices — never
+    # exposing a tiny (7, 4) minor-dim pair XLA would tile-pad
+    g = part.reshape(nout, 4, nchk, 128)
+    g0, g1, g2, g3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    xx = g0[..., 0:28:4] + g0[..., 1:28:4]           # |x|^2 per chan
+    yy = g0[..., 2:28:4] + g0[..., 3:28:4]           # |y|^2
+    re = g1[..., 0:28:4] + g1[..., 1:28:4]           # Re(x y*)
+    im = g2[..., 1:28:4] - g3[..., 0:28:4]           # Im(x y*)
+    stokes = jnp.stack([xx + yy, xx - yy, 2 * re, 2 * im], axis=1)
+    stokes = stokes.reshape(nout, 4, nchk * NCHAN_CHK)
+    if mean:
+        stokes = stokes / (ndf_w * 128)
+    return stokes
+
+
 def _stokes_kernel(x_ref, o_ref):
     """Fused full-Stokes detection tile.
 

@@ -157,10 +157,19 @@ class PowerPipeline:
                     pfb_nfft, pfb_ntap, nout=nout, stokes=stokes,
                     window=pfb_window, mean=mean)
             elif stokes and nout > 1:
-                from ..ops.power import baseband2stokes_scrunch_2d
+                if on_tpu and nout % 2 == 0:
+                    from ..ops.pallas_power import (
+                        baseband2stokes_scrunch_pallas,
+                    )
 
-                power_fn = functools.partial(
-                    baseband2stokes_scrunch_2d, nout=nout, mean=mean)
+                    power_fn = functools.partial(
+                        baseband2stokes_scrunch_pallas, nout=nout,
+                        mean=mean)
+                else:
+                    from ..ops.power import baseband2stokes_scrunch_2d
+
+                    power_fn = functools.partial(
+                        baseband2stokes_scrunch_2d, nout=nout, mean=mean)
             elif nout > 1:
                 if on_tpu:
                     from ..ops.pallas_power import (

@@ -117,3 +117,34 @@ def test_diskdb_skip_blocks_resume(tmp_path, keys):
         want = F.synthetic_block(rng=52, ndf=NDF, nchk=NCHK)
         np.testing.assert_array_equal(view.view("<i2"), want.reshape(-1))
         ring.close_block_read()
+
+
+def test_composed_ring_pipeline_via_launcher(tmp_path, keys):
+    """launcher forwards the composed detection flags and sizes the output
+    ring for the bigger records: PFB x Stokes x 2-spectra waterfall over
+    the full 3-process topology."""
+    from paf_baseband2power_tpu.ops.pfb import pfb_spectra_golden
+
+    key_in, key_out = keys
+    nfft, nout = 16, 2
+    conf = tmp_path / "pipeline.conf"
+    conf.write_text(
+        f"[BasicConf]\nNCHK_NIC: {NCHK}\n"
+        f"[DiskdbConf]\nNDF: {NDF}\nNBLK: 3\nKEY: {key_in}\n"
+        f"[Baseband2powerConf]\nKEY: {key_out}\nNCHAN: {NCHK * 7}\nNBLK: 2\n"
+    )
+    r = run_cli("launcher", "-c", str(conf), "-a", "synthetic:2",
+                "-b", str(tmp_path), "-o", "spec.dada",
+                "--pfb", str(nfft), "--stokes", "--nspectra", str(nout))
+    assert r.returncode == 0, r.stderr + r.stdout
+
+    rec_floats = nout * 4 * NCHK * 7 * nfft
+    with DadaFileReader(str(tmp_path / "spec.dada")) as reader:
+        assert reader.header["STOKES"] == "IQUV"
+        recs = list(reader.blocks(rec_floats * 4))
+    assert len(recs) == 2
+    block0 = F.synthetic_block(rng=0, ndf=NDF, nchk=NCHK)
+    want = pfb_spectra_golden(block0, nfft, 4, nout=nout, stokes=True)
+    got = np.frombuffer(recs[0], "<f4").reshape(want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=1e-5 * np.abs(want).max())

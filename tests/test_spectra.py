@@ -294,3 +294,23 @@ def test_stokes_scrunch_golden_and_xla():
         jnp.asarray(block.reshape(16, -1)), 4, mean=True))
     want_m = baseband2stokes_scrunch_golden(block, 4, mean=True)
     assert_close(got_m, want_m, rtol=1e-4)
+
+
+def test_stokes_scrunch_pallas_matches_golden():
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.ops.pallas_power import (
+        baseband2stokes_scrunch_pallas,
+    )
+
+    block = F.synthetic_block(rng=81, ndf=32, nchk=NCHK)
+    for nout, mean in ((2, False), (8, True)):
+        got = np.asarray(baseband2stokes_scrunch_pallas(
+            jnp.asarray(block.reshape(32, -1)), nout, mean=mean,
+            interpret=True))
+        want = baseband2stokes_scrunch_golden(block, nout, mean=mean)
+        assert_close(got, want, rtol=1e-4)
+    with pytest.raises(ValueError):
+        baseband2stokes_scrunch_pallas(jnp.asarray(block.reshape(32, -1)),
+                                       3, interpret=True)  # odd nout
