@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                     help="fine-channelize (PFB) before detection; the "
                     "overlap-save halo crosses hosts over DCN")
     ap.add_argument("--ntap", type=int, default=4, help="PFB taps")
+    ap.add_argument("--stokes", action="store_true",
+                    help="full-Stokes records (composes with --pfb)")
+    ap.add_argument("--nspectra", type=int, default=1,
+                    help="sub-block integration: N spectra per block "
+                    "(composes with --pfb/--stokes)")
     ap.add_argument("--fetch-every", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats-json", action="store_true")
@@ -51,7 +56,8 @@ def main(argv=None) -> int:
     runner = MultihostRunner(nbeam_total=args.nbeam, ndf=args.ndf,
                              nchk=args.nchk, mean=args.mean,
                              log_dir=args.dir, pfb_nfft=args.pfb,
-                             pfb_ntap=args.ntap)
+                             pfb_ntap=args.ntap, stokes=args.stokes,
+                             nout=args.nspectra)
 
     if args.input.startswith("synthetic"):
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4

@@ -391,3 +391,170 @@ def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
         return jax.vmap(one)(blocks)
 
     return jax.jit(step)
+
+
+def make_sharded_stokes_scrunch_step(mesh, nout: int, mean: bool = False):
+    """Multi-device Stokes x sub-block integration (coarse channels).
+
+    Window-aligned like ``make_sharded_scrunch_step`` (``n_time | nout``:
+    shards own whole windows, zero collectives); the per-window detect is
+    the full-Stokes product set. Output ``(nout, 4, nchan)`` float32
+    sharded ``P(time, None, chunk)``.
+    """
+    from ..ops.power import baseband2stokes_scrunch_2d
+
+    n_time = mesh.shape[TIME_AXIS]
+    if nout % n_time:
+        raise ValueError(
+            f"nout={nout} must be a multiple of the time-shard count "
+            f"{n_time} (windows may not straddle shards)")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(TIME_AXIS, CHUNK_AXIS),
+        out_specs=P(TIME_AXIS, None, CHUNK_AXIS),
+    )
+    def step(block):
+        return baseband2stokes_scrunch_2d(block, nout // n_time, mean=mean)
+
+    return jax.jit(step)
+
+
+def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
+                                    window: str = "hamming", nout: int = 1,
+                                    stokes: bool = False, mean: bool = False,
+                                    shift: bool = True):
+    """Composed detection on the multi-host mesh: 2-D-per-beam blocks
+    sharded ``P(beam, time, chunk)``, any combination of PFB x Stokes x
+    tscrunch.
+
+    With ``nfft``: the ``make_sharded_spectra_step`` body (ppermute halo,
+    end-row window scatter, psum) vmapped over this shard's beams — output
+    ``(nbeam, nout, [4,] nchan*nfft)`` with the spectra axes replicated.
+    Without ``nfft``: window-aligned sub-block detection (``n_time | nout``
+    required, zero collectives) — output sharded over ``time`` on the
+    spectra axis. Used by ``runtime/multihost.py`` for the composed CLI
+    modes.
+    """
+    from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
+
+    n_time = mesh.shape[TIME_AXIS]
+    if not nfft and nout == 1:
+        # plain full-Stokes across hosts: psum of local partials over time
+        from ..constants import NSAMP_DF as _NS
+        from ..ops.power import baseband2stokes_2d
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+            out_specs=P(BEAM_AXIS, None, CHUNK_AXIS),
+        )
+        def step(blocks):
+            local = jax.vmap(
+                lambda b: baseband2stokes_2d(b, mean=False))(blocks)
+            total = jax.lax.psum(local, TIME_AXIS)
+            if mean:
+                ndf = blocks.shape[1] * jax.lax.psum(1, TIME_AXIS)
+                total = total / (ndf * _NS)
+            return total
+
+        return jax.jit(step)
+    if not nfft:
+        if nout % n_time:
+            raise ValueError(
+                f"nout={nout} must be a multiple of the time-shard count "
+                f"{n_time} (windows may not straddle shards)")
+        from ..ops.power import (
+            baseband2power_scrunch_2d,
+            baseband2stokes_scrunch_2d,
+        )
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+            out_specs=(P(BEAM_AXIS, TIME_AXIS, None, CHUNK_AXIS) if stokes
+                       else P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS)),
+        )
+        def step(blocks):
+            fn = (baseband2stokes_scrunch_2d if stokes
+                  else baseband2power_scrunch_2d)
+            return jax.vmap(
+                lambda b: fn(b, nout // n_time, mean=mean))(blocks)
+
+        return jax.jit(step)
+
+    from ..ops.pfb import (
+        _MATMUL_NFFT_MAX,
+        _block_to_series,
+        _spectra_detect,
+        pfb_coeffs,
+        pfb_matmul_weights,
+    )
+
+    halo_len = (ntap - 1) * nfft
+    method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    ops_np = (pfb_matmul_weights(nfft, ntap, window) if method == "matmul"
+              else pfb_coeffs(nfft, ntap, window))
+    out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
+                else P(BEAM_AXIS, None, CHUNK_AXIS))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
+        out_specs=out_spec,
+    )
+    def step(blocks):
+        nbeam_l, ndf_l, lanes_l = blocks.shape
+        nchk_l = lanes_l // (DT_SIZE // 2)
+        nblk_local = ndf_l * NSAMP_DF // nfft
+        slots_total = n_time * nblk_local
+        if slots_total % nout:
+            raise ValueError(f"nout={nout} must divide {slots_total} slots")
+        wpg = slots_total // nout
+        if wpg < max(ntap - 1, 1):
+            raise ValueError(f"windows per spectrum {wpg} < ntap-1")
+        tid = jax.lax.axis_index(TIME_AXIS)
+        ops = (tuple(jnp.asarray(o) for o in ops_np)
+               if method == "matmul" else jnp.asarray(ops_np))
+
+        def one(b2d):
+            block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
+                                 NPOL_SAMP, NDIM_POL)
+            v = _block_to_series(block6)
+            if n_time > 1:
+                halo = v[..., :halo_len]
+                halo_prev = jax.lax.ppermute(
+                    halo, TIME_AXIS,
+                    perm=[(i, i - 1) for i in range(1, n_time)])
+                v = jnp.concatenate([v, halo_prev], axis=-1)
+            s = _spectra_detect(v, nfft, stokes, method, ops)
+            nwin_l = s.shape[-2]
+            if n_time > 1:
+                win = jax.lax.broadcasted_iota(jnp.int32, (nwin_l, 1), 0)
+                valid = (tid < n_time - 1) | (win < nwin_l - (ntap - 1))
+                s = s * valid.astype(s.dtype)
+            buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft),
+                            s.dtype)
+            start = tid * nblk_local + (ntap - 1)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start,
+                                                      axis=-2)
+            g = buf[..., :slots_total, :].reshape(
+                s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
+            g = jax.lax.psum(g, TIME_AXIS)
+            if mean:
+                nwin_g = jnp.full((nout,), float(wpg))
+                nwin_g = nwin_g.at[0].add(-(ntap - 1))
+                g = g / (nwin_g * (1 if stokes else NPOL_SAMP))[:, None]
+            if shift:
+                g = jnp.fft.fftshift(g, axes=-1)
+            ns = g.shape[2]
+            out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
+            return out if stokes else out[:, 0]
+
+        return jax.vmap(one)(blocks)
+
+    return jax.jit(step)

@@ -50,14 +50,22 @@ class MultihostRunner:
     def __init__(self, nbeam_total: int = 1, ndf: int = C.NDF_BLK,
                  nchk: int = C.NCHK_NIC, n_beam_mesh: int | None = None,
                  mean: bool = False, log_dir: str | None = None,
-                 pfb_nfft: int = 0, pfb_ntap: int = 4):
+                 pfb_nfft: int = 0, pfb_ntap: int = 4,
+                 stokes: bool = False, nout: int = 1):
         init_distributed()
         self.nbeam_total = nbeam_total
         self.ndf, self.nchk = ndf, nchk
         n_beam_mesh = n_beam_mesh or min(nbeam_total, jax.device_count())
         self.mesh = global_mesh(n_beam=n_beam_mesh)
         self.slice = process_block_slice(self.mesh, nbeam_total, ndf)
-        if pfb_nfft:
+        if stokes or nout > 1:
+            # composed detection across hosts (PFB x Stokes x tscrunch)
+            from ..parallel.sharded import make_multibeam_composed_step_2d
+
+            self.step = make_multibeam_composed_step_2d(
+                self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, nout=nout,
+                stokes=stokes, mean=mean)
+        elif pfb_nfft:
             # fine-channel spectrometer: the overlap-save halo ppermutes
             # over the global time axis, so with host boundaries on time
             # the FIR history crosses processes over DCN (one-shot per

@@ -200,3 +200,52 @@ def test_two_process_pfb_halo(tmp_path):
             synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nfft, ntap)
         np.testing.assert_allclose(rec, want, rtol=2e-4,
                                    err_msg=f"block {i}")
+
+
+def test_two_process_composed_spectra(tmp_path):
+    """Composed detection across processes: PFB x Stokes x 2-spectra
+    waterfall — halo ppermute AND the window scatter/psum cross the
+    process boundary."""
+    from paf_baseband2power_tpu.ops.pfb import pfb_spectra_golden
+
+    nfft, ntap, nout = 16, 4, 2
+    out = str(tmp_path / "spec.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "1",
+                    "--ndf", str(NDF), "--nchk", str(NCHK),
+                    "--pfb", str(nfft), "--ntap", str(ntap),
+                    "--stokes", "--nspectra", str(nout)], tmp_path)
+    rec_floats = nout * 4 * NCHK * C.NCHAN_CHK * nfft
+    recs = _read_power(out, rec_floats)
+    assert len(recs) == NBLOCKS
+    for i, rec in enumerate(recs):
+        want = pfb_spectra_golden(
+            synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nfft, ntap,
+            nout=nout, stokes=True)
+        got = rec.reshape(want.shape)
+        np.testing.assert_allclose(got, want, rtol=2e-4,
+                                   atol=1e-5 * np.abs(want).max(),
+                                   err_msg=f"block {i}")
+
+
+def test_two_process_stokes_scrunch(tmp_path):
+    """Non-PFB Stokes waterfall across processes (window-aligned: each
+    shard owns whole windows, zero collectives)."""
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+
+    nout = 8
+    out = str(tmp_path / "ss.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "1",
+                    "--ndf", str(NDF), "--nchk", str(NCHK),
+                    "--stokes", "--nspectra", str(nout)], tmp_path)
+    rec_floats = nout * 4 * NCHAN
+    recs = _read_power(out, rec_floats)
+    assert len(recs) == NBLOCKS
+    for i, rec in enumerate(recs):
+        want = baseband2stokes_scrunch_golden(
+            synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nout)
+        got = rec.reshape(want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   atol=1e-5 * np.abs(want).max(),
+                                   err_msg=f"block {i}")

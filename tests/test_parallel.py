@@ -275,3 +275,23 @@ def test_sharded_spectra_unaligned_groups(pfb_block):
     got = _run_spectra(M.make_mesh(n_time=8), pfb_block, nout=2)
     want = _pfb.pfb_spectra_golden(pfb_block, NFFT, NTAP, nout=2)
     _spectra_close(got, want)
+
+
+def test_sharded_stokes_scrunch_parity():
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+
+    block = F.synthetic_block(rng=55, ndf=64, nchk=8)
+    mesh = M.make_mesh(n_time=4, n_chunk=2)
+    step = S.make_sharded_stokes_scrunch_step(mesh, nout=8)
+    x = jax.device_put(jnp.asarray(block.reshape(64, -1)),
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec(
+                               M.TIME_AXIS, M.CHUNK_AXIS)))
+    got = np.asarray(step(x))
+    want = baseband2stokes_scrunch_golden(block, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5,
+                               atol=1e-5 * np.abs(want).max())
+    with pytest.raises(ValueError):
+        S.make_sharded_stokes_scrunch_step(mesh, nout=6)  # 4 !| 6
