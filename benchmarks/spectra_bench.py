@@ -95,7 +95,7 @@ def main():
         out, hist["h"] = xla_step(b, hist.get("h"))
         return out
 
-    dt = slope(xla_step and step_x, block, n_small=2, n_big=4, reps=2)
+    dt = slope(step_x, block, n_small=2, n_big=4, reps=2)
     pfb_rows.append(row(dt, nfft=1024,
                         method="batched-FFT spectrometer (XLA, r2 path)"))
 

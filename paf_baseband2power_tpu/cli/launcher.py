@@ -112,7 +112,7 @@ def main(argv=None) -> int:
               lock_pages=args.lock_rings)
     log.info("created rings: %s (%d x %d B), %s (%d x %d B)",
              key_in, conf.diskdb.nblk, conf.diskdb_rbufsz,
-             key_out, conf.baseband2power.nblk, conf.baseband2power_rbufsz)
+             key_out, conf.baseband2power.nblk, out_bufsz)
 
     procs = {}
     try:

@@ -208,6 +208,10 @@ int rotate_block(pafb2p_capture *h) {
   if (pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring)) != 0)
     return -EIO;
   h->blocks_committed.fetch_add(1);
+  /* the committed block now belongs to the reader: the stale pointer must
+   * not survive an open failure, or the final EOD path would re-zero and
+   * re-close reader-owned memory */
+  h->cur_block = nullptr;
   uint8_t *nb = pafb2p_rb_open_block_write(h->ring, 3600ULL * 1000000);
   if (!nb)
     return -ETIMEDOUT;
@@ -353,12 +357,16 @@ void sync_thread(pafb2p_capture *h) {
       usleep(200);
     }
   }
-  /* final block + EOD on every exit path (sync.c:177-204) */
+  /* final block + EOD on every exit path (sync.c:177-204); a failed
+   * rotation may have already committed its block (cur_block null) — then
+   * only EOD remains, no second close */
   std::unique_lock<std::shared_mutex> lk(h->rot_mu);
-  zero_unfilled(h);
-  pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring));
-  h->blocks_committed.fetch_add(1);
-  h->cur_block = nullptr;
+  if (h->cur_block) {
+    zero_unfilled(h);
+    pafb2p_rb_close_block_write(h->ring, pafb2p_rb_bufsz(h->ring));
+    h->blocks_committed.fetch_add(1);
+    h->cur_block = nullptr;
+  }
   pafb2p_rb_set_eod(h->ring);
 }
 

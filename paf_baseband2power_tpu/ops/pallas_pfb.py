@@ -591,6 +591,9 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
         nwin_g = jnp.full((nout,), float(wpg))
         if history is None:
             nwin_g = nwin_g.at[0].add(-(ntap - 1))
+        # wpg >= 8 > ntap-1 is validated above, so this clamp is inert
+        # here; kept identical to the XLA path's 0-window guard
+        nwin_g = jnp.maximum(nwin_g, 1.0)
         denom = nwin_g * (1 if stokes else npol)
         shape = (nout,) + (1,) * (out.ndim - 1)
         out = out / denom.reshape(shape)

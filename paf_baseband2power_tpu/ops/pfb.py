@@ -158,6 +158,9 @@ def pfb_spectra_golden(block: np.ndarray, nfft: int, ntap: int = 4,
     if mean:
         nwin_g = np.full(nout, float(wpg))
         nwin_g[0] -= ntap - 1               # one-shot: no boundary windows
+        # wpg == ntap-1 leaves spectrum 0 with zero windows one-shot (its
+        # sum is exactly 0); clamp so mean mode yields 0, not 0/0 = NaN
+        nwin_g = np.maximum(nwin_g, 1.0)
         denom = nwin_g * (1 if stokes else npol)
         g = g / denom[:, None]
     if shift:
@@ -705,6 +708,7 @@ def pfb_spectra(block: jax.Array, nfft: int, ntap: int = 4,
         nwin_g = jnp.full((nout,), float(wpg))
         if history is None:
             nwin_g = nwin_g.at[0].add(-(ntap - 1))
+        nwin_g = jnp.maximum(nwin_g, 1.0)   # 0-window group 0: 0, not NaN
         denom = nwin_g * (1 if stokes else npol)
         g = g / denom[:, None]
     if shift:
@@ -718,30 +722,59 @@ def pfb_spectra(block: jax.Array, nfft: int, ntap: int = 4,
     return out
 
 
+def _reshape_6d(block):
+    if block.ndim == 2:
+        ndf, lanes = block.shape
+        block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
+                                             NPOL_SAMP * 2),
+                              NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+    return block
+
+
+def _fused_geometry_ok(ndf: int, nfft: int, ntap: int, nout: int) -> bool:
+    """Whether this (static) block geometry satisfies the fused kernel's
+    tiling constraints (ops/pallas_pfb.py); otherwise the streaming
+    factories fall back to the XLA path for that shape."""
+    if not 2 <= ntap <= 8:
+        return False
+    n1 = nfft // _SLIDE_LANES
+    if n1 < 1 or ndf % n1:
+        return False
+    nrow = ndf // n1
+    if nrow % nout:
+        return False
+    wpg = nrow // nout
+    return wpg % 8 == 0 and wpg >= max(8, ntap - 1)
+
+
 def make_streaming_spectra(nfft: int, ntap: int = 4, nout: int = 1,
                            stokes: bool = False, **kw):
     """Return ``step(block, history) -> (spectra, new_history)`` for the
     composed fine-channel modes; accepts 6-D or 2-D device blocks.
 
-    On a TPU backend with ``nfft`` in the fused-kernel set the step
-    delegates to ``ops.pallas_pfb.pfb_spectra_fused``; pass
-    ``method="fft"`` (or ``"matmul"``) to force the XLA path.
+    On a TPU backend with ``method="auto"``, ``nfft`` in the fused-kernel
+    set, and a block geometry meeting the fused tiling constraints the
+    step runs ``ops.pallas_pfb.pfb_spectra_fused``; other shapes (and
+    explicit ``method=``) use the XLA path — the choice is per traced
+    shape, so one step object serves both.
     """
     method = kw.get("method", "auto")
-    if method == "auto" and jax.default_backend() == "tpu":
-        from .pallas_pfb import FUSED_NFFTS, make_streaming_spectra_fused
+    use_fused = method == "auto" and jax.default_backend() == "tpu"
+    if use_fused:
+        from .pallas_pfb import FUSED_NFFTS, pfb_spectra_fused
 
-        if nfft in FUSED_NFFTS:
-            return make_streaming_spectra_fused(nfft, ntap, nout=nout,
-                                                stokes=stokes, **kw)
+        use_fused = nfft in FUSED_NFFTS
+        kw_fused = {k: v for k, v in kw.items()
+                    if k not in ("method", "chunk_groups")}
 
     @jax.jit
     def step(block, history):
-        if block.ndim == 2:
-            ndf, lanes = block.shape
-            block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
-                                                 NPOL_SAMP * 2),
-                                  NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+        block = _reshape_6d(block)
+        if use_fused and _fused_geometry_ok(block.shape[0], nfft, ntap,
+                                            nout):
+            return pfb_spectra_fused(block, nfft, ntap, nout=nout,
+                                     stokes=stokes, history=history,
+                                     return_history=True, **kw_fused)
         return pfb_spectra(block, nfft, ntap, nout=nout, stokes=stokes,
                            history=history, return_history=True, **kw)
 
@@ -758,41 +791,36 @@ def make_streaming_pfb(nfft: int, ntap: int = 4,
     jitted program, where XLA folds it into the unpack/transpose instead of
     materializing a relayout copy at a call boundary.
 
-    On a TPU backend with ``nfft == 128`` (the production fine-channelizer
-    size) the step delegates to the fused Pallas kernel
+    On a TPU backend with ``method="auto"`` and a fused-compatible
+    ``nfft``/geometry, the step runs the fused Pallas kernel
     (``ops.pallas_pfb``), which also absorbs the boundary windows
-    in-kernel; pass ``method="fft"`` to force the XLA path.
+    in-kernel; incompatible shapes fall back per traced shape, and an
+    explicit ``method=`` always gets the XLA formulation it names.
     """
     method = kw.get("method", "auto")
-    if method in ("auto", "matmul") and jax.default_backend() == "tpu":
+    use_fused = method == "auto" and jax.default_backend() == "tpu"
+    if use_fused:
+        from .pallas_pfb import (
+            FUSED_NFFTS,
+            pfb_power_fused,
+            pfb_spectra_fused,
+        )
+
+        use_fused = nfft in FUSED_NFFTS
         kw2 = {k: v for k, v in kw.items() if k != "method"}
-        if nfft == _SLIDE_LANES:
-            from .pallas_pfb import make_streaming_pfb_fused
-
-            return make_streaming_pfb_fused(nfft, ntap, **kw2)
-        from .pallas_pfb import FUSED_NFFTS
-
-        if nfft in FUSED_NFFTS:
-            # generalized fused kernel (Cooley-Tukey N1 x 128); squeeze the
-            # nout=1 spectra axis back to the pfb_power record contract
-            from .pallas_pfb import make_streaming_spectra_fused
-
-            inner = make_streaming_spectra_fused(nfft, ntap, **kw2)
-
-            @jax.jit
-            def step(block, history):
-                out, h = inner(block, history)
-                return out[0], h
-
-            return step
 
     @jax.jit
     def step(block, history):
-        if block.ndim == 2:
-            ndf, lanes = block.shape
-            block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
-                                                 NPOL_SAMP * 2),
-                                  NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+        block = _reshape_6d(block)
+        if use_fused and _fused_geometry_ok(block.shape[0], nfft, ntap, 1):
+            if nfft == _SLIDE_LANES:
+                return pfb_power_fused(block, nfft, ntap, history=history,
+                                       return_history=True, **kw2)
+            # generalized fused kernel (Cooley-Tukey N1 x 128); squeeze
+            # the nout=1 spectra axis back to the pfb_power contract
+            out, h = pfb_spectra_fused(block, nfft, ntap, history=history,
+                                       return_history=True, **kw2)
+            return out[0], h
         return pfb_power(block, nfft, ntap, history=history,
                          chunk_groups=chunk_groups, return_history=True,
                          **kw)

@@ -185,6 +185,87 @@ def make_sharded_scrunch_step(mesh, nout: int, mean: bool = False):
     return jax.jit(step)
 
 
+def _halo_exchange(v, n_time: int, halo_len: int):
+    """Append the next time shard's leading samples (ppermute to the
+    previous shard); the last shard receives zeros."""
+    if n_time <= 1:
+        return v
+    halo = v[..., :halo_len]
+    halo_prev = jax.lax.ppermute(
+        halo, TIME_AXIS, perm=[(i, i - 1) for i in range(1, n_time)])
+    return jnp.concatenate([v, halo_prev], axis=-1)
+
+
+def _mask_tail_windows(p, tid, n_time: int, ntap: int):
+    """Zero the last shard's final ntap-1 windows (its halo was zeros),
+    matching the golden one-shot window count. ``p``'s second-to-last
+    axis is windows."""
+    if n_time <= 1:
+        return p
+    nwin = p.shape[-2]
+    win = jax.lax.broadcasted_iota(jnp.int32, (nwin, 1), 0)
+    valid = (tid < n_time - 1) | (win < nwin - (ntap - 1))
+    return p * valid.astype(p.dtype)
+
+
+def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
+                         nout: int, stokes: bool, method: str, ops,
+                         mean: bool, shift: bool):
+    """Per-shard composed detection on a local complex series: halo
+    exchange, per-window detect, end-row window scatter into global
+    slots, group fold, psum over time, normalize. The single shared
+    implementation behind ``make_sharded_spectra_step`` and
+    ``make_multibeam_composed_step_2d``. Returns ``(nout, [4,] flat)``.
+    """
+    from ..ops.pfb import _spectra_detect
+
+    nblk_local = v.shape[-1] // nfft
+    slots_total = n_time * nblk_local
+    if slots_total % nout:
+        raise ValueError(f"nout={nout} must divide {slots_total} slots")
+    wpg = slots_total // nout
+    if wpg < max(ntap - 1, 1):
+        raise ValueError(f"windows per spectrum {wpg} < ntap-1")
+    tid = jax.lax.axis_index(TIME_AXIS)
+    v = _halo_exchange(v, n_time, (ntap - 1) * nfft)
+    s = _spectra_detect(v, nfft, stokes, method, ops)
+    s = _mask_tail_windows(s, tid, n_time, ntap)
+    # scatter local windows into global end-row slots: window ending at
+    # global slot e lands in spectrum e // wpg, so shard boundaries need
+    # not align with output spectra
+    buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft), s.dtype)
+    start = tid * nblk_local + (ntap - 1)
+    buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start, axis=-2)
+    g = buf[..., :slots_total, :].reshape(
+        s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
+    g = jax.lax.psum(g, TIME_AXIS)
+    if mean:
+        nwin_g = jnp.full((nout,), float(wpg))
+        nwin_g = nwin_g.at[0].add(-(ntap - 1))        # one-shot group 0
+        nwin_g = jnp.maximum(nwin_g, 1.0)     # 0-window group: 0 not NaN
+        g = g / (nwin_g * (1 if stokes else npol))[:, None]
+    if shift:
+        g = jnp.fft.fftshift(g, axes=-1)
+    ns = g.shape[2]
+    out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
+    return out if stokes else out[:, 0]
+
+
+def _spectra_ops_np(nfft: int, ntap: int, window: str):
+    """(method, host operators) for the composed shard bodies."""
+    from ..ops.pfb import _MATMUL_NFFT_MAX, pfb_coeffs, pfb_matmul_weights
+
+    method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
+    ops_np = (pfb_matmul_weights(nfft, ntap, window) if method == "matmul"
+              else pfb_coeffs(nfft, ntap, window))
+    return method, ops_np
+
+
+def _ops_to_device(method: str, ops_np):
+    return (tuple(jnp.asarray(o) for o in ops_np)
+            if method == "matmul" else jnp.asarray(ops_np))
+
+
 def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
                               window: str = "hamming", nout: int = 1,
                               stokes: bool = False, mean: bool = False,
@@ -194,28 +275,14 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
 
     Communication: the same ppermute overlap-save halo as
     ``make_sharded_pfb_step`` plus one psum of the grouped spectra over
-    the time axis. Windows are owned by their *starting* shard; the
-    end-row group convention of ``ops.pfb.pfb_spectra`` is realized by
-    scattering each shard's windows into global window slots
-    (``dynamic_update_slice`` at the shard's slot offset) before the
-    group fold — so shard boundaries need not align with output spectra.
-    Output: ``(nout, [4,] nchk*7*nfft)`` float32, channels sharded over
+    the time axis (see ``_composed_shard_body``). Output:
+    ``(nout, [4,] nchk*7*nfft)`` float32, channels sharded over
     ``chunk``, the spectra/Stokes axes replicated (tiny).
     """
-    from ..constants import NSAMP_DF
-    from ..ops.pfb import (
-        _MATMUL_NFFT_MAX,
-        _block_to_series,
-        _spectra_detect,
-        pfb_coeffs,
-        pfb_matmul_weights,
-    )
+    from ..ops.pfb import _block_to_series
 
     n_time = mesh.shape[TIME_AXIS]
-    halo_len = (ntap - 1) * nfft
-    method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
-    ops_np = (pfb_matmul_weights(nfft, ntap, window) if method == "matmul"
-              else pfb_coeffs(nfft, ntap, window))
+    method, ops_np = _spectra_ops_np(nfft, ntap, window)
     out_spec = P(None, None, CHUNK_AXIS) if stokes else P(None, CHUNK_AXIS)
 
     @functools.partial(
@@ -225,47 +292,10 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
         out_specs=out_spec,
     )
     def step(block):
-        nblk_local = block.shape[0] * NSAMP_DF // nfft
-        slots_total = n_time * nblk_local
-        if slots_total % nout:
-            raise ValueError(f"nout={nout} must divide {slots_total} slots")
-        wpg = slots_total // nout
-        if wpg < max(ntap - 1, 1):
-            raise ValueError(f"windows per spectrum {wpg} < ntap-1")
-        v = _block_to_series(block)
-        tid = jax.lax.axis_index(TIME_AXIS)
-        if n_time > 1:
-            halo = v[..., :halo_len]
-            halo_prev = jax.lax.ppermute(
-                halo, TIME_AXIS,
-                perm=[(i, i - 1) for i in range(1, n_time)])
-            v = jnp.concatenate([v, halo_prev], axis=-1)
-        ops = (tuple(jnp.asarray(o) for o in ops_np)
-               if method == "matmul" else jnp.asarray(ops_np))
-        s = _spectra_detect(v, nfft, stokes, method, ops)
-        nwin_l = s.shape[-2]
-        if n_time > 1:
-            # last shard received a zero halo: mask its tail windows
-            win = jax.lax.broadcasted_iota(jnp.int32, (nwin_l, 1), 0)
-            valid = (tid < n_time - 1) | (win < nwin_l - (ntap - 1))
-            s = s * valid.astype(s.dtype)
-        buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft),
-                        s.dtype)
-        start = tid * nblk_local + (ntap - 1)
-        buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start, axis=-2)
-        g = buf[..., :slots_total, :].reshape(
-            s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
-        g = jax.lax.psum(g, TIME_AXIS)
-        if mean:
-            nwin_g = jnp.full((nout,), float(wpg))
-            nwin_g = nwin_g.at[0].add(-(ntap - 1))    # one-shot group 0
-            npol = block.shape[4]
-            g = g / (nwin_g * (1 if stokes else npol))[:, None]
-        if shift:
-            g = jnp.fft.fftshift(g, axes=-1)
-        ns = g.shape[2]
-        out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
-        return out if stokes else out[:, 0]
+        return _composed_shard_body(
+            _block_to_series(block), block.shape[4], n_time, nfft, ntap,
+            nout, stokes, method, _ops_to_device(method, ops_np), mean,
+            shift)
 
     return jax.jit(step)
 
@@ -286,10 +316,9 @@ def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
 
     Output: ``(nchk * 7 * nfft,)`` float32, sharded over ``chunk``.
     """
-    from ..ops.pfb import _block_to_series, channelize, pfb_coeffs
+    from ..ops.pfb import _block_to_series, pfb_coeffs
 
     n_time = mesh.shape[TIME_AXIS]
-    halo_len = (ntap - 1) * nfft
     coeffs_np = pfb_coeffs(nfft, ntap, window)
 
     @functools.partial(
@@ -299,34 +328,34 @@ def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
         out_specs=P(CHUNK_AXIS),
     )
     def step(block):
-        v = _block_to_series(block)                     # (ck,7,pol,ns_local)
-        tid = jax.lax.axis_index(TIME_AXIS)
-        if n_time > 1:
-            halo = v[..., :halo_len]
-            # send my leading samples to the previous time shard
-            halo_prev = jax.lax.ppermute(
-                halo, TIME_AXIS,
-                perm=[(i, i - 1) for i in range(1, n_time)])
-            v = jnp.concatenate([v, halo_prev], axis=-1)
-        y = channelize(v, jnp.asarray(coeffs_np))       # (...,nwin,nfft)
-        p = y.real * y.real + y.imag * y.imag
-        nwin = p.shape[-2]
-        if n_time > 1:
-            # last shard received a zero halo: drop its tail windows
-            win = jax.lax.broadcasted_iota(jnp.int32, (nwin, 1), 0)
-            valid = (tid < n_time - 1) | (win < nwin - (ntap - 1))
-            p = p * valid.astype(p.dtype)
-        power = p.sum(axis=(2, 3))
-        power = jax.lax.psum(power, TIME_AXIS)
-        if mean:
-            total_win = jax.lax.psum(nwin, TIME_AXIS) - (
-                0 if n_time == 1 else (ntap - 1))
-            power = power / (p.shape[2] * total_win)
-        if shift:
-            power = jnp.fft.fftshift(power, axes=-1)
-        return power.reshape(-1)
+        return _pfb_shard_body(_block_to_series(block), n_time, nfft, ntap,
+                               jnp.asarray(coeffs_np), mean, shift)
 
     return jax.jit(step)
+
+
+def _pfb_shard_body(v, n_time: int, nfft: int, ntap: int, coeffs,
+                    mean: bool, shift: bool):
+    """Per-shard PFB spectrometer on a local complex series (halo
+    exchange, channelize, tail mask, psum) — shared by the flat and
+    multibeam step factories. Returns ``(nchk_l*7*nfft,)``."""
+    from ..ops.pfb import channelize
+
+    tid = jax.lax.axis_index(TIME_AXIS)
+    v = _halo_exchange(v, n_time, (ntap - 1) * nfft)
+    y = channelize(v, coeffs)                           # (...,nwin,nfft)
+    p = y.real * y.real + y.imag * y.imag
+    nwin = p.shape[-2]
+    p = _mask_tail_windows(p, tid, n_time, ntap)
+    power = p.sum(axis=(2, 3))
+    power = jax.lax.psum(power, TIME_AXIS)
+    if mean:
+        total_win = jax.lax.psum(nwin, TIME_AXIS) - (
+            0 if n_time == 1 else (ntap - 1))
+        power = power / (p.shape[2] * total_win)
+    if shift:
+        power = jnp.fft.fftshift(power, axes=-1)
+    return power.reshape(-1)
 
 
 def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
@@ -344,10 +373,9 @@ def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
     Output ``(nbeam, nchk*7*nfft)`` sharded ``P(beam, chunk)``.
     """
     from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
-    from ..ops.pfb import _block_to_series, channelize, pfb_coeffs
+    from ..ops.pfb import _block_to_series, pfb_coeffs
 
     n_time = mesh.shape[TIME_AXIS]
-    halo_len = (ntap - 1) * nfft
     coeffs_np = pfb_coeffs(nfft, ntap, window)
 
     @functools.partial(
@@ -359,34 +387,13 @@ def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
     def step(blocks):
         nbeam_l, ndf_l, lanes_l = blocks.shape
         nchk_l = lanes_l // (DT_SIZE // 2)
-        tid = jax.lax.axis_index(TIME_AXIS)
 
         def one(b2d):
             block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
                                  NPOL_SAMP, NDIM_POL)
-            v = _block_to_series(block6)
-            if n_time > 1:
-                halo = v[..., :halo_len]
-                halo_prev = jax.lax.ppermute(
-                    halo, TIME_AXIS,
-                    perm=[(i, i - 1) for i in range(1, n_time)])
-                v = jnp.concatenate([v, halo_prev], axis=-1)
-            y = channelize(v, jnp.asarray(coeffs_np))
-            p = y.real * y.real + y.imag * y.imag
-            nwin = p.shape[-2]
-            if n_time > 1:
-                win = jax.lax.broadcasted_iota(jnp.int32, (nwin, 1), 0)
-                valid = (tid < n_time - 1) | (win < nwin - (ntap - 1))
-                p = p * valid.astype(p.dtype)
-            power = p.sum(axis=(2, 3))
-            power = jax.lax.psum(power, TIME_AXIS)
-            if mean:
-                total_win = jax.lax.psum(nwin, TIME_AXIS) - (
-                    0 if n_time == 1 else (ntap - 1))
-                power = power / (p.shape[2] * total_win)
-            if shift:
-                power = jnp.fft.fftshift(power, axes=-1)
-            return power.reshape(-1)
+            return _pfb_shard_body(_block_to_series(block6), n_time, nfft,
+                                   ntap, jnp.asarray(coeffs_np), mean,
+                                   shift)
 
         return jax.vmap(one)(blocks)
 
@@ -486,18 +493,9 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
 
         return jax.jit(step)
 
-    from ..ops.pfb import (
-        _MATMUL_NFFT_MAX,
-        _block_to_series,
-        _spectra_detect,
-        pfb_coeffs,
-        pfb_matmul_weights,
-    )
+    from ..ops.pfb import _block_to_series
 
-    halo_len = (ntap - 1) * nfft
-    method = "matmul" if nfft <= _MATMUL_NFFT_MAX else "fft"
-    ops_np = (pfb_matmul_weights(nfft, ntap, window) if method == "matmul"
-              else pfb_coeffs(nfft, ntap, window))
+    method, ops_np = _spectra_ops_np(nfft, ntap, window)
     out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
                 else P(BEAM_AXIS, None, CHUNK_AXIS))
 
@@ -510,50 +508,14 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
     def step(blocks):
         nbeam_l, ndf_l, lanes_l = blocks.shape
         nchk_l = lanes_l // (DT_SIZE // 2)
-        nblk_local = ndf_l * NSAMP_DF // nfft
-        slots_total = n_time * nblk_local
-        if slots_total % nout:
-            raise ValueError(f"nout={nout} must divide {slots_total} slots")
-        wpg = slots_total // nout
-        if wpg < max(ntap - 1, 1):
-            raise ValueError(f"windows per spectrum {wpg} < ntap-1")
-        tid = jax.lax.axis_index(TIME_AXIS)
-        ops = (tuple(jnp.asarray(o) for o in ops_np)
-               if method == "matmul" else jnp.asarray(ops_np))
+        ops = _ops_to_device(method, ops_np)
 
         def one(b2d):
             block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
                                  NPOL_SAMP, NDIM_POL)
-            v = _block_to_series(block6)
-            if n_time > 1:
-                halo = v[..., :halo_len]
-                halo_prev = jax.lax.ppermute(
-                    halo, TIME_AXIS,
-                    perm=[(i, i - 1) for i in range(1, n_time)])
-                v = jnp.concatenate([v, halo_prev], axis=-1)
-            s = _spectra_detect(v, nfft, stokes, method, ops)
-            nwin_l = s.shape[-2]
-            if n_time > 1:
-                win = jax.lax.broadcasted_iota(jnp.int32, (nwin_l, 1), 0)
-                valid = (tid < n_time - 1) | (win < nwin_l - (ntap - 1))
-                s = s * valid.astype(s.dtype)
-            buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft),
-                            s.dtype)
-            start = tid * nblk_local + (ntap - 1)
-            buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start,
-                                                      axis=-2)
-            g = buf[..., :slots_total, :].reshape(
-                s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
-            g = jax.lax.psum(g, TIME_AXIS)
-            if mean:
-                nwin_g = jnp.full((nout,), float(wpg))
-                nwin_g = nwin_g.at[0].add(-(ntap - 1))
-                g = g / (nwin_g * (1 if stokes else NPOL_SAMP))[:, None]
-            if shift:
-                g = jnp.fft.fftshift(g, axes=-1)
-            ns = g.shape[2]
-            out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
-            return out if stokes else out[:, 0]
+            return _composed_shard_body(
+                _block_to_series(block6), NPOL_SAMP, n_time, nfft, ntap,
+                nout, stokes, method, ops, mean, shift)
 
         return jax.vmap(one)(blocks)
 

@@ -314,3 +314,32 @@ def test_stokes_scrunch_pallas_matches_golden():
     with pytest.raises(ValueError):
         baseband2stokes_scrunch_pallas(jnp.asarray(block.reshape(32, -1)),
                                        3, interpret=True)  # odd nout
+
+
+def test_mean_zero_window_group_is_zero_not_nan():
+    """wpg == ntap-1 leaves spectrum 0 with zero windows one-shot; mean
+    mode must yield 0 there, not 0/0 = NaN (regression)."""
+    block = F.synthetic_block(rng=90, ndf=12, nchk=1)
+    # nfft=32 -> nblk=48 slots; nout=16 -> wpg=3 == ntap-1
+    want = pfb.pfb_spectra_golden(block, 32, 4, nout=16, mean=True)
+    assert np.isfinite(want).all()
+    assert np.all(want[0] == 0.0)
+    got = np.asarray(pfb.pfb_spectra(jnp.asarray(block), 32, 4, nout=16,
+                                     mean=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_fused_geometry_predicate():
+    """Streaming factories fall back to XLA for shapes the fused kernel's
+    tiling rejects (per traced shape, TPU only); the predicate is the
+    contract."""
+    ok = pfb._fused_geometry_ok
+    assert ok(8192, 128, 4, 1)          # full geometry
+    assert ok(8192, 1024, 4, 64)
+    assert not ok(8, 256, 4, 1)         # nrow=4 not a multiple of 8
+    assert not ok(8191, 128, 4, 1)      # nrow % nout fine but wpg % 8 != 0
+    assert not ok(64, 128, 4, 16)       # wpg=4 < 8
+    assert not ok(100, 1024, 4, 1)      # ndf % (nfft/128) != 0
+    assert not ok(8192, 128, 9, 1)      # ntap out of range
