@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     ap.add_argument("--debug", action="store_true",
                     help="per-block output validation + verbose logging "
                     "(the -DDEBUG rebuild analogue)")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="input blocks are host-corner-turned series rows "
+                    "(capture --device-layout); auto-detected from the "
+                    "ring header's ORDER SERIES field")
     args = ap.parse_args(argv)
 
     from ..runtime import apply_platform_env
@@ -121,6 +125,11 @@ def main(argv=None) -> int:
             if args.input.startswith("ring:") else args.input
         source = RingSource(key, ndf=args.ndf, nchk=args.nchk)
         in_header = source.header
+        if not args.device_layout and \
+                (in_header or {}).get("ORDER") == "SERIES":
+            args.device_layout = True
+        if args.device_layout:
+            source.set_layout("rows")
     else:
         source = FileSource(args.input, ndf=args.ndf, nchk=args.nchk)
         in_header = source.header
@@ -164,7 +173,8 @@ def main(argv=None) -> int:
                          pfb_nfft=args.pfb, pfb_ntap=args.ntap,
                          pfb_window=args.window,
                          fetch_every=args.fetch_every, stokes=args.stokes,
-                         nout=args.nspectra)
+                         nout=args.nspectra,
+                         device_layout=args.device_layout)
     if not args.no_warmup:
         pipe.warmup(args.ndf, args.nchk)
     with profile_trace(args.profile):

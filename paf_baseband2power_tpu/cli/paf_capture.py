@@ -55,6 +55,12 @@ def main(argv=None) -> int:
                     help="accept only this beam id (-1 = any)")
     ap.add_argument("--no-zero", action="store_true",
                     help="skip zero-filling blocks (reference behavior)")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="corner-turn frames on the host (SIMD) into the "
+                    "TPU series-row layout; the ring header carries "
+                    "ORDER SERIES so consumers pick the rows view (fine-"
+                    "channel kernels then skip the ~45 ms/block device "
+                    "relayout)")
     args = ap.parse_args(argv)
 
     from ..io import ringbuffer as rb
@@ -86,6 +92,7 @@ def main(argv=None) -> int:
         ndf_check=args.ndf_check, length_sec=args.length,
         cpu_base=args.cpu_base, zero_blocks=not args.no_zero,
         beam=args.beam, numa_node=args.numa_node,
+        device_layout=args.device_layout,
     )
     with CaptureEngine(conf) as eng:
         nports = eng.probe()
@@ -99,6 +106,7 @@ def main(argv=None) -> int:
         hdr = baseband_header(
             utc_start=utc, picoseconds=ps, freq=eng.freq_center,
             nchan=args.nchk * C.NCHAN_CHK,
+            extra={"ORDER": "SERIES"} if args.device_layout else None,
         )
         with rb.RingBuffer(args.key) as ring:
             ring.write_header(hdr)

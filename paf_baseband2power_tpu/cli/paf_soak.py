@@ -51,6 +51,10 @@ def main(argv=None) -> int:
                     help="batch this many power outputs per device fetch "
                     "(amortizes the fixed fetch round trip; essential on "
                     "remote-tunnel TPU where each fetch costs ~30 ms)")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="capture corner-turns frames on the host into the "
+                    "TPU series-row layout (SIMD); compute consumes rows "
+                    "with zero device relayout")
     ap.add_argument("-k", "--dir", default=None, help="log directory")
     args = ap.parse_args(argv)
     if args.tbuf and not 0 < args.tbuf <= args.ndf:
@@ -90,7 +94,8 @@ def _soak(args, key: str, log) -> dict:
     sink = MemorySink()
     pipe = PowerPipeline(depth=2 * args.fetch_every, log_dir=args.dir,
                          name="paf_soak_compute",
-                         fetch_every=args.fetch_every)
+                         fetch_every=args.fetch_every,
+                         device_layout=args.device_layout)
     warmup_sec = pipe.warmup(args.ndf, args.nchk)
 
     frame_time = float(C.TDF) / args.rate      # per frame-time across chunks
@@ -106,6 +111,7 @@ def _soak(args, key: str, log) -> dict:
         tbuf_ndf=args.tbuf or min(max(args.ndf // 4, 32), 256, args.ndf),
         timeout_sec=2.0,
         ndf_check=args.nchk * 2, zero_blocks=True,
+        device_layout=args.device_layout,
     )
     eng = CaptureEngine(conf)
     try:
@@ -178,7 +184,8 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     result = {}
 
     def compute():
-        src = RingSource(key, ndf=args.ndf, nchk=args.nchk)
+        src = RingSource(key, ndf=args.ndf, nchk=args.nchk,
+                         layout="rows" if args.device_layout else "wire")
         result["stats"] = pipe.run(src, sink)
 
     cx = threading.Thread(target=compute)

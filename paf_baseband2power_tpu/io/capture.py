@@ -34,6 +34,7 @@ class _ConfStruct(ctypes.Structure):
         ("zero_blocks", ctypes.c_int),
         ("beam", ctypes.c_int),
         ("numa_node", ctypes.c_int),
+        ("device_layout", ctypes.c_int),
     ]
 
 
@@ -90,6 +91,10 @@ class CaptureConf:
     beam: int = -1   # accept only this beam id; -1 = any
     numa_node: int = -1  # NUMA-aware pinning: thread i -> node*10 + i
                          # (the reference's placement, sync.c:48-59)
+    device_layout: bool = False  # corner-turn frames during placement
+                                 # into the TPU series-row layout (SIMD on
+                                 # the host) so fine-channel kernels skip
+                                 # the ~45 ms/block device relayout
 
     def to_struct(self) -> _ConfStruct:
         s = _ConfStruct()
@@ -109,6 +114,7 @@ class CaptureConf:
         s.zero_blocks = int(self.zero_blocks)
         s.beam = self.beam
         s.numa_node = self.numa_node
+        s.device_layout = int(self.device_layout)
         return s
 
 

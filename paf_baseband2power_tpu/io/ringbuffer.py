@@ -254,13 +254,22 @@ class RingBuffer:
 
 
 class RingSource:
-    """Pipeline source: read baseband blocks from a ring (reader client)."""
+    """Pipeline source: read baseband blocks from a ring (reader client).
+
+    ``layout``: ``"wire"`` (TFTFP, blocks viewed ``(ndf, lanes)``) or
+    ``"rows"`` (the capture engine's ``device_layout`` corner-turned form,
+    viewed ``(nseries, ndf*256)``). Bytes are identical in count; only
+    the view differs.
+    """
 
     def __init__(self, key: str, ndf: int = C.NDF_BLK, nchk: int = C.NCHK_NIC,
-                 timeout_us: int | None = None):
+                 timeout_us: int | None = None, layout: str = "wire"):
+        if layout not in ("wire", "rows"):
+            raise ValueError(f"unknown layout '{layout}'")
         self._rb = RingBuffer(key)
         self._rb.lock_read()
         self._ndf, self._nchk = ndf, nchk
+        self._layout = layout
         self._timeout = timeout_us
         expect = ndf * nchk * C.DT_SIZE
         bufsz = self._rb.bufsz
@@ -272,13 +281,24 @@ class RingSource:
                 22, f"ring '{key}' bufsz {bufsz} != expected {expect}")
         self.header = self._rb.read_header(timeout_us)
 
+    def set_layout(self, layout: str) -> None:
+        """Switch the block view (callers discover ORDER from the header
+        this source has already read)."""
+        if layout not in ("wire", "rows"):
+            raise ValueError(f"unknown layout '{layout}'")
+        self._layout = layout
+
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
             view = self._rb.open_block_read(self._timeout)
             if view is None:
                 break
             # copy out: the block is recycled after close; 2-D device layout
-            block = view.view("<i2").reshape(self._ndf, -1).copy()
+            if self._layout == "rows":
+                nseries = self._nchk * C.NCHAN_CHK * C.NPOL_SAMP
+                block = view.view("<i2").reshape(nseries, -1).copy()
+            else:
+                block = view.view("<i2").reshape(self._ndf, -1).copy()
             self._rb.close_block_read()
             yield block
         self._rb.unlock_read()

@@ -13,6 +13,9 @@
 
 #include <atomic>
 #include <cerrno>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 #include <cmath>
 #include <cstring>
 #include <mutex>
@@ -180,9 +183,146 @@ int chunk_of(const pafb2p_capture *h, double freq) {
  * fill-tag writes). At zero loss this is one all-ones word scan over the
  * tag array (~50 us at full geometry) — the affordable form of the old
  * 2.8 GB whole-block memset. */
+/* ---- device-layout corner turn -----------------------------------------
+ *
+ * TPU fine-channel kernels consume per-series rows: the corner turn from
+ * the wire's sample-major payload costs ~45 ms/block of XLA relayout on
+ * device (the measured floor — ops/pallas_pfb.py design notes), while the
+ * host can do it during frame placement nearly for free. A frame payload
+ * is a 128x14 matrix of 4-byte (re,im) int16 pairs (sample-major); the
+ * device layout stores column cls of frame (idf, ichk) as the contiguous
+ * 512 B segment at ((ichk*14 + cls)*ndf_blk + idf)*512 — exactly the
+ * (nseries, ndf, 256-lane) row form, so the device computes spectra with
+ * zero relayout. Block size is unchanged.
+ */
+constexpr uint32_t kClsPerChunk = 14; /* 7 chan x 2 pol (4 B re/im pair) */
+constexpr uint32_t kSegBytes = 512;   /* 128 samples x 4 B per series    */
+
+void corner_turn_scalar(const uint8_t *payload, uint8_t *block,
+                        uint64_t idf, uint32_t ichk, uint64_t ndf_blk) {
+  const uint32_t *src = reinterpret_cast<const uint32_t *>(payload);
+  for (uint32_t cls = 0; cls < kClsPerChunk; ++cls) {
+    uint32_t *dst = reinterpret_cast<uint32_t *>(
+        block + ((static_cast<uint64_t>(ichk) * kClsPerChunk + cls) *
+                     ndf_blk +
+                 idf) *
+                    kSegBytes);
+    for (uint32_t s = 0; s < 128; ++s)
+      dst[s] = src[s * kClsPerChunk + cls];
+  }
+}
+
+#if defined(__x86_64__)
+/* 8x8 u32 transpose of rows r..r+7, cols c..c+7 (src stride 14 u32) into
+ * 8 column segments (dst stride 128 u32 between columns). */
+__attribute__((target("avx2"))) static inline void t8x8(
+    const uint32_t *src, uint32_t *dst0, uint64_t dst_stride) {
+  __m256i r0 = _mm256_loadu_si256((const __m256i *)(src + 0 * 14));
+  __m256i r1 = _mm256_loadu_si256((const __m256i *)(src + 1 * 14));
+  __m256i r2 = _mm256_loadu_si256((const __m256i *)(src + 2 * 14));
+  __m256i r3 = _mm256_loadu_si256((const __m256i *)(src + 3 * 14));
+  __m256i r4 = _mm256_loadu_si256((const __m256i *)(src + 4 * 14));
+  __m256i r5 = _mm256_loadu_si256((const __m256i *)(src + 5 * 14));
+  __m256i r6 = _mm256_loadu_si256((const __m256i *)(src + 6 * 14));
+  __m256i r7 = _mm256_loadu_si256((const __m256i *)(src + 7 * 14));
+  __m256i t0 = _mm256_unpacklo_epi32(r0, r1);
+  __m256i t1 = _mm256_unpackhi_epi32(r0, r1);
+  __m256i t2 = _mm256_unpacklo_epi32(r2, r3);
+  __m256i t3 = _mm256_unpackhi_epi32(r2, r3);
+  __m256i t4 = _mm256_unpacklo_epi32(r4, r5);
+  __m256i t5 = _mm256_unpackhi_epi32(r4, r5);
+  __m256i t6 = _mm256_unpacklo_epi32(r6, r7);
+  __m256i t7 = _mm256_unpackhi_epi32(r6, r7);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  _mm256_storeu_si256((__m256i *)(dst0 + 0 * dst_stride),
+                      _mm256_permute2x128_si256(u0, u4, 0x20));
+  _mm256_storeu_si256((__m256i *)(dst0 + 1 * dst_stride),
+                      _mm256_permute2x128_si256(u1, u5, 0x20));
+  _mm256_storeu_si256((__m256i *)(dst0 + 2 * dst_stride),
+                      _mm256_permute2x128_si256(u2, u6, 0x20));
+  _mm256_storeu_si256((__m256i *)(dst0 + 3 * dst_stride),
+                      _mm256_permute2x128_si256(u3, u7, 0x20));
+  _mm256_storeu_si256((__m256i *)(dst0 + 4 * dst_stride),
+                      _mm256_permute2x128_si256(u0, u4, 0x31));
+  _mm256_storeu_si256((__m256i *)(dst0 + 5 * dst_stride),
+                      _mm256_permute2x128_si256(u1, u5, 0x31));
+  _mm256_storeu_si256((__m256i *)(dst0 + 6 * dst_stride),
+                      _mm256_permute2x128_si256(u2, u6, 0x31));
+  _mm256_storeu_si256((__m256i *)(dst0 + 7 * dst_stride),
+                      _mm256_permute2x128_si256(u3, u7, 0x31));
+}
+
+__attribute__((target("avx2"))) void corner_turn_avx2(
+    const uint8_t *payload, uint8_t *block, uint64_t idf, uint32_t ichk,
+    uint64_t ndf_blk) {
+  const uint32_t *src = reinterpret_cast<const uint32_t *>(payload);
+  uint32_t *base = reinterpret_cast<uint32_t *>(
+      block + static_cast<uint64_t>(ichk) * kClsPerChunk * ndf_blk *
+                  kSegBytes);
+  const uint64_t seg_u32 = ndf_blk * 128; /* u32 stride between columns */
+  for (uint32_t r = 0; r < 128; r += 8) {
+    /* cols 0..7, then cols 6..13 (6,7 written twice with equal values —
+     * the overlap keeps both loads fully in-bounds of the 1792-u32 row) */
+    t8x8(src + r * 14, base + 0 * seg_u32 + idf * 128 + r, seg_u32);
+    t8x8(src + r * 14 + 6, base + 6 * seg_u32 + idf * 128 + r, seg_u32);
+  }
+}
+#endif
+
+using corner_turn_fn = void (*)(const uint8_t *, uint8_t *, uint64_t,
+                                uint32_t, uint64_t);
+
+corner_turn_fn pick_corner_turn() {
+#if defined(__x86_64__)
+  if (__builtin_cpu_supports("avx2"))
+    return corner_turn_avx2;
+#endif
+  return corner_turn_scalar;
+}
+
+corner_turn_fn g_corner_turn = pick_corner_turn();
+
+/* Place one frame payload into the current block in the configured
+ * layout (wire TFTFP memcpy, or the device-layout corner turn). */
+inline void place_frame(pafb2p_capture *h, uint8_t *block, uint64_t idf,
+                        uint32_t ifreq, const uint8_t *payload) {
+  if (h->conf.device_layout)
+    g_corner_turn(payload, block, idf, ifreq, h->conf.ndf_blk);
+  else
+    memcpy(block + (idf * h->conf.nchk + ifreq) * kPayloadBytes, payload,
+           kPayloadBytes);
+}
+
 void zero_unfilled(pafb2p_capture *h) {
   if (!h->conf.zero_blocks || !h->cur_block)
     return;
+  if (h->conf.device_layout) {
+    /* an unfilled (idf, ichk) slot is kClsPerChunk scattered segments */
+    const uint64_t ndf = h->conf.ndf_blk;
+    const uint32_t nchk = h->conf.nchk;
+    const uint8_t *f = h->filled.data();
+    for (uint64_t i = 0; i < ndf * nchk; ++i) {
+      if (f[i])
+        continue;
+      uint64_t idf = i / nchk;
+      uint32_t ichk = static_cast<uint32_t>(i % nchk);
+      for (uint32_t cls = 0; cls < kClsPerChunk; ++cls)
+        memset(h->cur_block +
+                   ((static_cast<uint64_t>(ichk) * kClsPerChunk + cls) *
+                        ndf +
+                    idf) *
+                       kSegBytes,
+               0, kSegBytes);
+    }
+    return;
+  }
   const uint64_t nslots =
       static_cast<uint64_t>(h->conf.ndf_blk) * h->conf.nchk;
   const uint8_t *f = h->filled.data();
@@ -226,8 +366,8 @@ int rotate_block(pafb2p_capture *h) {
     for (uint32_t c = 0; c < nchk; ++c) {
       uint64_t slot = t * nchk + c;
       if (h->ttag[slot]) {
-        memcpy(nb + slot * kPayloadBytes,
-               h->tbuf.data() + slot * kPayloadBytes, kPayloadBytes);
+        /* tbuf holds raw wire frames; replay in the configured layout */
+        place_frame(h, nb, t, c, h->tbuf.data() + slot * kPayloadBytes);
         h->ttag[slot] = 0;
         if (h->conf.zero_blocks)
           h->filled[slot] = 1;
@@ -301,8 +441,8 @@ void capture_thread(pafb2p_capture *h, int slot) {
       st.dropped.fetch_add(1, std::memory_order_relaxed);
     } else if (rel < static_cast<int64_t>(ndf)) {
       uint64_t slot_idx = static_cast<uint64_t>(rel) * nchk + ifreq;
-      memcpy(h->cur_block + slot_idx * kPayloadBytes, buf + kHdrBytes,
-             kPayloadBytes);
+      place_frame(h, h->cur_block, static_cast<uint64_t>(rel), ifreq,
+                  buf + kHdrBytes);
       if (h->conf.zero_blocks)
         h->filled[slot_idx] = 1;
       st.received.fetch_add(1, std::memory_order_relaxed);

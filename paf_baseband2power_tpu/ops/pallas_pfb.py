@@ -17,7 +17,14 @@ kernel that streams the series once and keeps everything else in VMEM
   int32-packed and 82 for f32 [re|im] rows — the variants that split or
   widen re/im pay an extra tiling pass). A VPU shuffle kernel pencils
   out no faster (stride-14 lane decimation costs ~14 select+rolls per
-  output register).
+  output register). r3 probed consuming the WIRE layout directly in the
+  kernel, which would delete the relayout pass entirely; every route is
+  blocked at the Mosaic compiler level on this toolchain (measured):
+  lane-split value reshape ``(tdf,3584)->(tdf,128,28)`` = "unsupported
+  shape cast"; strided lane slice ``x[:, c::28]`` = vector
+  extract_strided_slice verification error; int16->int32 pair bitcast =
+  "changing bitwidths not supported". The ~45 ms corner turn therefore
+  remains the measured floor for all fine-channel modes.
 * **The matmul absorbs the de-interleave**: permuting the ROWS of the
   DFT operator (row 2j := DFT-re row j, row 2j+1 := DFT-im row j) makes
   the interleaved layout directly contractible — zero unpack ops; the
@@ -451,17 +458,22 @@ def _pick_spectra_tile(wpg: int, nout: int, nfft: int,
 @functools.partial(jax.jit, static_argnames=("nfft", "ntap", "window",
                                              "nout", "stokes", "mean",
                                              "shift", "return_history",
-                                             "interpret"))
+                                             "layout", "interpret"))
 def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
                       window: str = "hamming", nout: int = 1,
                       stokes: bool = False, mean: bool = False,
                       shift: bool = True,
                       history: jax.Array | None = None,
                       return_history: bool = False,
+                      layout: str = "wire",
                       interpret: bool = False):
     """Fused composed spectrometer with the ``pfb.pfb_spectra`` contract.
 
-    ``block``: canonical 6-D int16 block or the 2-D device layout.
+    ``block``: canonical 6-D int16 block or the 2-D device layout
+    (``layout="wire"``, default), or a host-corner-turned series-row
+    block — ``(nseries, ndf, 256)`` int16 or its 2-D flattening — from
+    the capture engine's ``device_layout`` mode (``layout="rows"``),
+    which skips the ~45 ms on-device corner-turn relayout entirely.
     Output: ``(nout, nchan*nfft)`` float32 waterfall, or with ``stokes``
     ``(nout, 4, nchan*nfft)`` I/Q/U/V (+ the overlap-save carry when
     ``return_history``). ``nout=1, stokes=False`` reproduces
@@ -472,13 +484,23 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
         raise ValueError(f"fused spectra support nfft in {FUSED_NFFTS}")
     if not 2 <= ntap <= 8:
         raise ValueError("fused spectra support 2 <= ntap <= 8")
-    if block.ndim == 2:
-        ndf, lanes = block.shape
-        block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
-                                             NPOL_SAMP * 2),
-                              NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
-    ndf, nchk = block.shape[0], block.shape[1]
-    npol = block.shape[4]
+    if layout == "rows":
+        if block.ndim == 2:
+            s_rows, cols = block.shape
+            block = block.reshape(s_rows, cols // (2 * _L), 2 * _L)
+        nseries_r, ndf, _ = block.shape
+        nchk = nseries_r // (NCHAN_CHK * NPOL_SAMP)
+        npol = NPOL_SAMP
+    elif layout == "wire":
+        if block.ndim == 2:
+            ndf, lanes = block.shape
+            block = block.reshape(ndf, lanes // (NSAMP_DF * NCHAN_CHK *
+                                                 NPOL_SAMP * 2),
+                                  NSAMP_DF, NCHAN_CHK, NPOL_SAMP, 2)
+        ndf, nchk = block.shape[0], block.shape[1]
+        npol = block.shape[4]
+    else:
+        raise ValueError(f"unknown layout '{layout}'")
     n1 = nfft // _L
     if ndf % n1:
         raise ValueError(f"ndf={ndf} must be a multiple of nfft/128={n1}")
@@ -495,7 +517,9 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
     nseries = nchk * NCHAN_CHK * npol
     R, tpg, ngrp = _pick_spectra_tile(wpg, nout, nfft, 2 if stokes else 1)
 
-    rows = _rows_i16(block)                 # (S, ndf, 256) interleaved
+    # (S, ndf, 256) interleaved series rows: pre-turned by the host
+    # (layout="rows") or corner-turned here by XLA
+    rows = block if layout == "rows" else _rows_i16(block)
     cvecs, mats = _spectra_ops(nfft, ntap, window)
     f32 = jnp.asarray(mats)
     fhi = f32.astype(jnp.bfloat16)
@@ -603,7 +627,13 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
     if return_history:
         halo = (ntap - 1) * nfft
         halo_ndf = -(-halo // NSAMP_DF)
-        v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
+        if layout == "rows":
+            tail = rows[:, -halo_ndf:, :].astype(jnp.float32)
+            t2 = tail.reshape(nchk, NCHAN_CHK, npol,
+                              halo_ndf * NSAMP_DF, 2)
+            v_tail = jax.lax.complex(t2[..., 0], t2[..., 1])[..., -halo:]
+        else:
+            v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
         return out, v_tail
     return out
 

@@ -219,6 +219,30 @@ def baseband2stokes_scrunch_2d(block2d: jax.Array, nout: int,
     return stokes
 
 
+@functools.partial(jax.jit, static_argnames=("nout", "mean"))
+def baseband2power_scrunch_rows(rows2d: jax.Array, nout: int = 1,
+                                mean: bool = False) -> jax.Array:
+    """Power integration of a host-corner-turned series-row block
+    (the capture engine's ``device_layout`` mode): int16
+    ``(nseries, ndf*256)`` with ``nseries = nchk*7*2`` -> ``(nout, nchan)``
+    float32 (squeeze ``nout=1`` for the plain-power record).
+
+    |x|^2 is layout-independent, so this is the same single fused HBM
+    pass as the wire-layout path — only the tiny per-series fold differs.
+    """
+    nseries, cols = rows2d.shape
+    nchan = nseries // NPOL_SAMP
+    if cols % nout:
+        raise ValueError(f"nout={nout} must divide the row length")
+    x = rows2d.reshape(nseries, nout, cols // nout).astype(jnp.float32)
+    partial = jnp.sum(x * x, axis=2)                  # (nseries, nout)
+    power = partial.reshape(nchan, NPOL_SAMP, nout).sum(axis=1)
+    power = power.T                                   # (nout, nchan)
+    if mean:
+        power = power / (cols // nout // 2 * NPOL_SAMP)
+    return power
+
+
 def power_step(block: jax.Array) -> jax.Array:
     """The flagship single-chip forward step (jittable, donate-friendly)."""
     if block.ndim == 2:

@@ -140,9 +140,14 @@ class PowerPipeline:
                  depth: int = 2, name: str = "baseband2power",
                  log_dir: str | None = None, pfb_nfft: int = 0,
                  pfb_ntap: int = 4, pfb_window: str = "hamming",
-                 fetch_every: int = 1, stokes: bool = False, nout: int = 1):
+                 fetch_every: int = 1, stokes: bool = False, nout: int = 1,
+                 device_layout: bool = False):
         self._stateful = bool(pfb_nfft)
         self._signed = stokes  # Q/U/V records are legitimately negative
+        self._device_layout = device_layout
+        if power_fn is None and device_layout:
+            power_fn = self._rows_fn(mean, pfb_nfft, pfb_ntap, pfb_window,
+                                     stokes, nout)
         if power_fn is None:
             import functools
 
@@ -220,6 +225,49 @@ class PowerPipeline:
         return functools.partial(baseband2power_2d, mean=mean)
 
     @staticmethod
+    def _rows_fn(mean: bool, nfft: int, ntap: int, window: str,
+                 stokes: bool, nout: int):
+        """Compute step for host-corner-turned series-row blocks (the
+        capture engine's ``device_layout`` mode): the fused spectrometer
+        consumes the rows directly — no on-device corner turn (measured
+        62 -> 15 ms/block at nfft=128 on v5e) — and the direct power /
+        tscrunch reductions are layout-independent. Plain Stokes needs
+        the wire layout (its lane-roll kernel assumes 4-lane groups)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        if pfb := nfft:
+            from ..ops.pallas_pfb import pfb_spectra_fused
+
+            squeeze = nout == 1 and not stokes
+
+            @jax.jit
+            def step(block, history):
+                out, h = pfb_spectra_fused(
+                    block, pfb, ntap, window=window, mean=mean, nout=nout,
+                    stokes=stokes, history=history, return_history=True,
+                    layout="rows")
+                return (out[0] if squeeze else out), h
+
+            return step
+        if stokes:
+            raise ValueError(
+                "device-layout blocks support power / tscrunch / any "
+                "PFB composition; plain Stokes needs the wire layout")
+        from ..ops.power import baseband2power_scrunch_rows
+
+        if nout > 1:
+            return functools.partial(baseband2power_scrunch_rows,
+                                     nout=nout, mean=mean)
+
+        @jax.jit
+        def power1(block):
+            return baseband2power_scrunch_rows(block, 1, mean=mean)[0]
+
+        return power1
+
+    @staticmethod
     def _pfb_fn(mean: bool, nfft: int, ntap: int, window: str):
         from ..ops.pfb import make_streaming_pfb
 
@@ -244,7 +292,11 @@ class PowerPipeline:
         t0 = time.perf_counter()
         # zeros created on device: a host block would be 2.8 GB at full
         # geometry and ship it through the (slow) H2D path for nothing
-        x = jnp.zeros((ndf, nchk * C.DT_SIZE // 2), dtype=jnp.int16)
+        if self._device_layout:
+            x = jnp.zeros((nchk * C.NCHAN_CHK * C.NPOL_SAMP, ndf * 256),
+                          dtype=jnp.int16)
+        else:
+            x = jnp.zeros((ndf, nchk * C.DT_SIZE // 2), dtype=jnp.int16)
         if self._stateful:
             out, carry = self._power_fn(x, None)
             np.asarray(out)
@@ -307,7 +359,10 @@ class PowerPipeline:
         try:
             for block in source:
                 if not stats.ndf:
-                    stats.ndf = block.shape[0]
+                    # frames per block: rows-layout blocks are
+                    # (nseries, ndf*256), wire blocks (ndf, lanes)
+                    stats.ndf = (block.shape[1] // 256
+                                 if self._device_layout else block.shape[0])
                 x = jax.device_put(block)
                 if self._stateful:
                     out, carry = self._power_fn(x, carry)

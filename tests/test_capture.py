@@ -57,13 +57,14 @@ def _free_ports():
 
 def run_capture(ring_key, nframes, port_base, probe_frames=NCHK * 2,
                 sender_kwargs=None, nblocks_expect=None, idf0=0,
-                length_sec=0.0):
+                length_sec=0.0, device_layout=False):
     """Start the engine, stream frames at it, wait for completion."""
     conf = CaptureConf(
         ip="127.0.0.1", port_base=port_base, nports=NPORTS,
         ring_key=ring_key, ndf_blk=NDF, nchk=NCHK, freq_base=FREQ0,
         chunk_bw=7.0, tbuf_ndf=16, timeout_sec=1.5, ndf_check=probe_frames,
         length_sec=length_sec, zero_blocks=True,
+        device_layout=device_layout,
     )
     eng = CaptureEngine(conf)
     kw = dict(host="127.0.0.1", port_base=port_base, nports=NPORTS,
@@ -511,3 +512,26 @@ def test_capture_zero_fill_after_ring_wrap():
                         arr[t, c], expected_payload(k, c),
                         err_msg=f"block {bi} frame {t} chunk {c}")
     assert lost > 0              # 25% drop over 512 slots: ~128 expected
+
+
+def test_capture_device_layout(ring_key):
+    """device_layout=True: the host SIMD corner turn places every frame as
+    14 per-series 512 B segments — the captured block equals the TFTFP
+    block transposed to the TPU (nseries, ndf, 256-lane) row form, so
+    fine-channel kernels consume it with zero device relayout."""
+    port_base = _free_ports()
+    eng, rc, idf0 = run_capture(ring_key, nframes=NDF,
+                                port_base=port_base, device_layout=True)
+    assert rc == 0
+    blocks = read_blocks(ring_key)
+    assert len(blocks) >= 1
+    got = blocks[0].view("<i2")
+
+    # expected wire block -> numpy corner turn (the _rows_i16 layout)
+    wire = np.zeros((NDF, NCHK, 128, 7, 2, 2), np.int16)
+    for rel in range(NDF):
+        for ichk in range(NCHK):
+            wire[rel, ichk] = expected_payload(idf0 + rel, ichk).reshape(
+                128, 7, 2, 2)
+    rows = wire.transpose(1, 3, 4, 0, 2, 5).reshape(NCHK * 14, NDF, 256)
+    np.testing.assert_array_equal(got, rows.reshape(-1))

@@ -56,3 +56,15 @@ def test_soak_python_sender(tmp_path):
     assert report["pass"], report
     assert report["loss"] <= 0.05
     assert report["blocks_computed"] >= report["expected_blocks"] - 1
+
+
+def test_soak_device_layout(tmp_path):
+    """Live topology with the host SIMD corner turn: capture places
+    series-row blocks, compute consumes them with zero device relayout."""
+    report = _run_soak(
+        ["--seconds", "3", "--rate", "1.0", "--ndf", "1024",
+         "--nchk", "2", "--nports", "1", "--nblk", "8",
+         "--device-layout", "--port-base", "29540"], tmp_path)
+    assert report["pass"], report
+    assert report["loss"] <= 0.05
+    assert report["blocks_computed"] >= report["expected_blocks"] - 1

@@ -343,3 +343,70 @@ def test_fused_geometry_predicate():
     assert not ok(64, 128, 4, 16)       # wpg=4 < 8
     assert not ok(100, 1024, 4, 1)      # ndf % (nfft/128) != 0
     assert not ok(8192, 128, 9, 1)      # ntap out of range
+
+
+# --------------------------------------------------------------------------
+# Device-layout (host corner turn) consumption
+# --------------------------------------------------------------------------
+
+def _to_rows(block):
+    ndf = block.shape[0]
+    nchk = block.shape[1]
+    return (block.transpose(1, 3, 4, 0, 2, 5)
+            .reshape(nchk * 14, ndf, 256))
+
+
+def test_fused_spectra_rows_layout_matches_wire():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    block = F.synthetic_block(rng=95, ndf=32, nchk=NCHK)
+    rows = _to_rows(block)
+    for nout, stokes in ((1, False), (2, True)):
+        a = np.asarray(pfb_spectra_fused(jnp.asarray(block), 128, NTAP,
+                                         nout=nout, stokes=stokes,
+                                         interpret=True))
+        b = np.asarray(pfb_spectra_fused(jnp.asarray(rows), 128, NTAP,
+                                         nout=nout, stokes=stokes,
+                                         layout="rows", interpret=True))
+        np.testing.assert_allclose(b, a, rtol=1e-6)
+        # 2-D flattened rows too
+        c = np.asarray(pfb_spectra_fused(
+            jnp.asarray(rows.reshape(NCHK * 14, -1)), 128, NTAP, nout=nout,
+            stokes=stokes, layout="rows", interpret=True))
+        np.testing.assert_allclose(c, a, rtol=1e-6)
+
+
+def test_fused_spectra_rows_streaming_history():
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+    b1 = F.synthetic_block(rng=96, ndf=32, nchk=NCHK)
+    b2 = F.synthetic_block(rng=97, ndf=32, nchk=NCHK)
+    both = np.concatenate([b1, b2], axis=0)
+    p1, h1 = pfb_spectra_fused(jnp.asarray(_to_rows(b1)), 128, NTAP,
+                               layout="rows", return_history=True,
+                               interpret=True)
+    p2, h2 = pfb_spectra_fused(jnp.asarray(_to_rows(b2)), 128, NTAP,
+                               history=h1, layout="rows",
+                               return_history=True, interpret=True)
+    want = pfb.pfb_spectra_golden(both, 128, NTAP, nout=2)
+    assert_close(np.asarray(p1), want[:1])
+    assert_close(np.asarray(p2), want[1:])
+    ref = pfb.pfb_history(jnp.asarray(b2), 128, NTAP)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+
+
+def test_power_scrunch_rows_matches_golden():
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_golden,
+        baseband2power_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.ops.power import baseband2power_scrunch_rows
+
+    block = F.synthetic_block(rng=98, ndf=16, nchk=NCHK)
+    rows2d = jnp.asarray(_to_rows(block).reshape(NCHK * 14, -1))
+    got1 = np.asarray(baseband2power_scrunch_rows(rows2d, 1))
+    np.testing.assert_allclose(got1[0], baseband2power_golden(block),
+                               rtol=1e-5)
+    got4 = np.asarray(baseband2power_scrunch_rows(rows2d, 4, mean=True))
+    want4 = baseband2power_scrunch_golden(block, 4, mean=True)
+    np.testing.assert_allclose(got4, want4, rtol=1e-5)
