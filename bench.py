@@ -42,6 +42,17 @@ def make_block_2d(ndf: int, seed: int = 0) -> jax.Array:
     return gen(key).block_until_ready()
 
 
+def make_block_rows(ndf: int, seed: int = 0) -> jax.Array:
+    """Series-row block as the capture engine's device-layout mode
+    delivers it: (nchk*14 series, ndf*256 lanes) int16."""
+    shape = (C.NCHK_NIC * 14, ndf * 256)
+    key = jax.random.key(seed)
+    gen = jax.jit(
+        lambda k: jax.random.randint(k, shape, -256, 256, dtype=jnp.int16)
+    )
+    return gen(key).block_until_ready()
+
+
 def get_step(impl: str):
     if impl in ("auto", "pallas"):
         try:
@@ -145,6 +156,11 @@ def main():
     ap.add_argument("--scrunch", type=int, default=0, metavar="NOUT",
                     help="benchmark sub-block integration (NOUT spectra "
                     "per block) instead")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="feed the PFB/compose path host-corner-turned "
+                    "series rows (capture --device-layout blocks) instead "
+                    "of wire-order blocks — measures the rows fast path "
+                    "with no on-device corner turn")
     ap.add_argument("--h2d", action="store_true",
                     help="measure host->device transfer of a full block")
     ap.add_argument("--e2e", action="store_true",
@@ -160,7 +176,27 @@ def main():
         return
 
     ndf = 256 if args.quick else C.NDF_BLK
-    if args.pfb and (args.stokes or args.scrunch):
+    if args.pfb and args.device_layout:
+        # rows fast path: blocks already host-corner-turned (the capture
+        # engine's device-layout mode); any PFB composition, no on-device
+        # corner turn
+        import functools
+
+        from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+
+        nout = args.scrunch or 1
+        label = (f"pfb nfft={args.pfb} [device-layout rows]"
+                 + (" x stokes" if args.stokes else "")
+                 + (f" x nout={nout}" if nout > 1 else ""))
+        history = {}
+
+        def step(b):
+            out, history["h"] = pfb_spectra_fused(
+                b, args.pfb, 4, nout=nout, stokes=args.stokes,
+                history=history.get("h"), return_history=True,
+                layout="rows")
+            return out
+    elif args.pfb and (args.stokes or args.scrunch):
         # composed fine-channel modes ride the same streaming step
         from paf_baseband2power_tpu.ops.pfb import make_streaming_spectra
 
@@ -238,7 +274,8 @@ def main():
     else:
         step, impl = get_step(args.impl)
         label = impl
-    block = make_block_2d(ndf)
+    block = (make_block_rows(ndf) if args.pfb and args.device_layout
+             else make_block_2d(ndf))
     samples_per_block = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
 
     # Warmup / compile; np.asarray forces completion (block_until_ready is
