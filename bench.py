@@ -180,8 +180,6 @@ def main():
         # rows fast path: blocks already host-corner-turned (the capture
         # engine's device-layout mode); any PFB composition, no on-device
         # corner turn
-        import functools
-
         from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
 
         nout = args.scrunch or 1

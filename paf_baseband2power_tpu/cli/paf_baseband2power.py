@@ -115,6 +115,10 @@ def main(argv=None) -> int:
     # non-hex ring keys MUST use the explicit prefix or they are read as
     # file paths
     if args.input.startswith("synthetic"):
+        if args.device_layout:
+            ap.error("--device-layout needs a ring or recording whose "
+                     "blocks were corner-turned by the capture engine; "
+                     "the synthetic source yields wire-order blocks")
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4
         source = SyntheticSource(n, ndf=args.ndf, nchk=args.nchk)
         in_header = None
@@ -131,8 +135,10 @@ def main(argv=None) -> int:
         if args.device_layout:
             source.set_layout("rows")
     else:
-        source = FileSource(args.input, ndf=args.ndf, nchk=args.nchk)
+        source = FileSource(args.input, ndf=args.ndf, nchk=args.nchk,
+                            layout="rows" if args.device_layout else None)
         in_header = source.header
+        args.device_layout = source.layout == "rows"
 
     # --- sink -------------------------------------------------------------
     nchan_out = args.nchk * C.NCHAN_CHK * (args.pfb or 1)

@@ -156,7 +156,8 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     with rb.RingBuffer(key) as ring:
         ring.write_header(baseband_header(
             utc_start=utc, picoseconds=ps, freq=eng.freq_center,
-            nchan=args.nchk * C.NCHAN_CHK))
+            nchan=args.nchk * C.NCHAN_CHK,
+            extra={"ORDER": "SERIES"} if args.device_layout else None))
 
     # paced sender: the native one paces itself on absolute deadlines; the
     # Python fallback sleeps to schedule between bursts

@@ -304,13 +304,15 @@ void zero_unfilled(pafb2p_capture *h) {
   if (!h->conf.zero_blocks || !h->cur_block)
     return;
   if (h->conf.device_layout) {
-    /* an unfilled (idf, ichk) slot is kClsPerChunk scattered segments */
+    /* an unfilled (idf, ichk) slot is kClsPerChunk scattered segments;
+     * same all-ones word-scan fast path as the wire branch so a
+     * zero-loss rotation stays ~50 us under the exclusive lock */
     const uint64_t ndf = h->conf.ndf_blk;
     const uint32_t nchk = h->conf.nchk;
+    const uint64_t nslots = ndf * nchk;
     const uint8_t *f = h->filled.data();
-    for (uint64_t i = 0; i < ndf * nchk; ++i) {
-      if (f[i])
-        continue;
+    constexpr uint64_t kAllFilled = 0x0101010101010101ULL;
+    auto zero_slot = [&](uint64_t i) {
       uint64_t idf = i / nchk;
       uint32_t ichk = static_cast<uint32_t>(i % nchk);
       for (uint32_t cls = 0; cls < kClsPerChunk; ++cls)
@@ -320,7 +322,20 @@ void zero_unfilled(pafb2p_capture *h) {
                     idf) *
                        kSegBytes,
                0, kSegBytes);
+    };
+    uint64_t i = 0;
+    for (; i + 8 <= nslots; i += 8) {
+      uint64_t w;
+      memcpy(&w, f + i, 8);
+      if (w == kAllFilled)
+        continue;
+      for (uint64_t j = i; j < i + 8; ++j)
+        if (!f[j])
+          zero_slot(j);
     }
+    for (; i < nslots; ++i)
+      if (!f[i])
+        zero_slot(i);
     return;
   }
   const uint64_t nslots =

@@ -232,8 +232,11 @@ def baseband2power_scrunch_rows(rows2d: jax.Array, nout: int = 1,
     """
     nseries, cols = rows2d.shape
     nchan = nseries // NPOL_SAMP
-    if cols % nout:
-        raise ValueError(f"nout={nout} must divide the row length")
+    ndf = cols // (2 * NSAMP_DF)
+    if cols % (2 * NSAMP_DF) or ndf % nout:
+        raise ValueError(
+            f"nout={nout} must divide the {ndf} frames per block "
+            "(windows align to whole frames, matching the wire path)")
     x = rows2d.reshape(nseries, nout, cols // nout).astype(jnp.float32)
     partial = jnp.sum(x * x, axis=2)                  # (nseries, nout)
     power = partial.reshape(nchan, NPOL_SAMP, nout).sum(axis=1)

@@ -86,18 +86,33 @@ class SyntheticSource:
 
 class FileSource:
     """Replay a recorded DADA baseband file (the ``paf_diskdb`` analogue,
-    ``diskdb.cu:74-124``: skip file header, stream whole blocks)."""
+    ``diskdb.cu:74-124``: skip file header, stream whole blocks).
+
+    Recordings made from a device-layout ring (header ``ORDER SERIES``)
+    are auto-detected and viewed as series-row blocks; ``layout``
+    overrides.
+    """
 
     def __init__(self, path: str, ndf: int = C.NDF_BLK,
-                 nchk: int = C.NCHK_NIC):
+                 nchk: int = C.NCHK_NIC, layout: str | None = None):
         self._reader = DadaFileReader(path)
         self.header = self._reader.header
         self._ndf, self._nchk = ndf, nchk
+        if layout is None:
+            layout = ("rows" if (self.header or {}).get("ORDER") == "SERIES"
+                      else "wire")
+        if layout not in ("wire", "rows"):
+            raise ValueError(f"unknown layout '{layout}'")
+        self.layout = layout
         self.block_nbytes = ndf * nchk * C.DT_SIZE
 
     def __iter__(self) -> Iterator[np.ndarray]:
         for raw in self._reader.blocks(self.block_nbytes):
-            yield np.frombuffer(raw, dtype="<i2").reshape(self._ndf, -1)
+            x = np.frombuffer(raw, dtype="<i2")
+            if self.layout == "rows":
+                yield x.reshape(self._nchk * C.NCHAN_CHK * C.NPOL_SAMP, -1)
+            else:
+                yield x.reshape(self._ndf, -1)
         self._reader.close()
 
 
@@ -235,19 +250,26 @@ class PowerPipeline:
         the wire layout (its lane-roll kernel assumes 4-lane groups)."""
         import functools
 
-        import jax.numpy as jnp
+        if nfft:
+            from ..ops.pallas_pfb import FUSED_NFFTS, pfb_spectra_fused
 
-        if pfb := nfft:
-            from ..ops.pallas_pfb import pfb_spectra_fused
-
+            if nfft not in FUSED_NFFTS:
+                raise ValueError(
+                    f"device-layout PFB supports nfft in {FUSED_NFFTS} "
+                    f"(the fused kernel consumes rows directly), got "
+                    f"{nfft}; re-record or use a wire-layout ring for "
+                    "other sizes")
+            # off-TPU (tests, CPU soaks) the kernel runs in interpret
+            # mode — correct, slow, fine at test geometries
+            interp = jax.default_backend() != "tpu"
             squeeze = nout == 1 and not stokes
 
             @jax.jit
             def step(block, history):
                 out, h = pfb_spectra_fused(
-                    block, pfb, ntap, window=window, mean=mean, nout=nout,
+                    block, nfft, ntap, window=window, mean=mean, nout=nout,
                     stokes=stokes, history=history, return_history=True,
-                    layout="rows")
+                    layout="rows", interpret=interp)
                 return (out[0] if squeeze else out), h
 
             return step

@@ -206,3 +206,38 @@ def test_composed_modes_cli(tmp_path):
                 for b in r.blocks(nout * 4 * NCHK * 7 * 4)]
     want = baseband2stokes_scrunch_golden(block, nout)
     np.testing.assert_allclose(recs[0], want, rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_device_layout_file_replay(tmp_path):
+    """A recording made from a device-layout ring (ORDER SERIES header)
+    auto-detects as series rows; the PFB step consumes rows directly
+    (interpret mode off-TPU) with golden parity. Wire-order synthetic
+    input with --device-layout is rejected instead of silently
+    misinterpreted."""
+    from paf_baseband2power_tpu.io.dada import DadaFileWriter, baseband_header
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+
+    ndf, nchk = 64, 2
+    block = F.synthetic_block(rng=55, ndf=ndf, nchk=nchk)
+    rows = block.transpose(1, 3, 4, 0, 2, 5).reshape(nchk * 14, ndf, 256)
+    path = str(tmp_path / "rows.dada")
+    w = DadaFileWriter(path, baseband_header(
+        nchan=nchk * 7, extra={"ORDER": "SERIES"}))
+    w.write(rows.reshape(-1).view(np.uint8))
+    w.close()
+
+    out = str(tmp_path / "spec.dada")
+    assert cli_b2p.main(["-a", path, "-b", out, "--ndf", str(ndf),
+                         "--nchk", str(nchk), "--pfb", "128"]) == 0
+    nchan_f = nchk * 7 * 128
+    with DadaFileReader(out) as r:
+        recs = [np.frombuffer(b, "<f4") for b in r.blocks(nchan_f * 4)]
+    want = _pfb.pfb_power_golden(block, 128, 4)
+    np.testing.assert_allclose(recs[0], want, rtol=2e-4)
+
+    # wire-order synthetic + --device-layout must be rejected
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli_b2p.main(["-a", "synthetic:1", "-b", str(tmp_path / "x.dada"),
+                      "--ndf", str(ndf), "--nchk", str(nchk),
+                      "--device-layout"])
