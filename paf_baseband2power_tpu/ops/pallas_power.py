@@ -429,6 +429,113 @@ def baseband2stokes_scrunch_pallas(block2d: jax.Array, nout: int,
     return stokes
 
 
+def _make_stokes_rows_kernel(tpw: int, wpb: int):
+    """Stokes (x tscrunch) on host-corner-turned series rows.
+
+    The rows layout makes polarimetry nearly free: a (chunk, chan) pair's
+    x and y series are adjacent rows with (re, im) interleaved on lanes,
+    so ``sum(x*y)`` IS ``Re(x y*)`` summed, and ``Im`` needs only the
+    pair-swap roll (``sum(alt * x * swap(y))``) — 2 rolls + 4 products
+    per element vs the wire kernel's 3 cross-lane rolls + 4 products over
+    4-lane groups. Four quantity rows per window, ``wpb`` windows per
+    (8, 256) output block (dynamic stores, ``_make_scrunch_kernel``
+    pattern).
+    """
+
+    def kernel(x_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t % (tpw * wpb) == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        x = x_ref[0, 0].astype(jnp.float32)
+        y = x_ref[0, 1].astype(jnp.float32)
+        lt = x.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        even = (lane % 2) == 0
+        alt = jnp.where(even, -1.0, 1.0)
+        ysw = jnp.where(even, pltpu.roll(y, lt - 1, 1),
+                        pltpu.roll(y, 1, 1))
+        row = ((t // tpw) % wpb) * 4
+        o_ref[pl.ds(row, 1), :] += jnp.sum(x * x, axis=0, keepdims=True)
+        o_ref[pl.ds(row + 1, 1), :] += jnp.sum(y * y, axis=0,
+                                               keepdims=True)
+        o_ref[pl.ds(row + 2, 1), :] += jnp.sum(x * y, axis=0,
+                                               keepdims=True)
+        o_ref[pl.ds(row + 3, 1), :] += jnp.sum(alt * x * ysw, axis=0,
+                                               keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nout", "mean", "interpret"))
+def baseband2stokes_scrunch_rows_pallas(rows2d: jax.Array, nout: int = 1,
+                                        mean: bool = False,
+                                        interpret: bool = False
+                                        ) -> jax.Array:
+    """Stokes (x sub-block integration) from series-row blocks ->
+    ``(nout, 4, nchan)`` float32 (oracle:
+    ``ops.golden.baseband2stokes_scrunch_golden``; ``nout=1`` for plain
+    Stokes). Input: int16 ``(nseries, ndf*256)`` as the capture engine's
+    ``device_layout`` mode delivers.
+    """
+    nseries, cols = rows2d.shape
+    npair = nseries // 2
+    ndf = cols // 256
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide {ndf} frames")
+    wpb = 2 if nout % 2 == 0 and nout > 1 else 1
+    ndf_w = ndf // nout
+    # view 8 frames per row (2048 lanes — pair parity survives any even
+    # regroup, so the swap roll still pairs re/im): 256-lane tiles
+    # measured 104 GB/s on v5e, the wide view keeps the VPU fed
+    if ndf_w % 8:
+        raise ValueError(f"window of {ndf_w} frames must be a multiple "
+                         "of 8 (wide-row tiling)")
+    nrow_v = ndf // 8
+    ndf_w_v = ndf_w // 8
+    tdf = ndf_w_v
+    while tdf > 1 and (ndf_w_v % tdf or tdf * 2048 * 2 * 2 > 2 ** 19):
+        tdf //= 2
+    if ndf_w_v % tdf:
+        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
+                         "tile split")
+    tpw = ndf_w_v // tdf
+
+    rows4 = rows2d.reshape(npair, 2, nrow_v, 2048)
+    # output blocks are always 8 sublanes (Mosaic tiling requirement):
+    # wpb=2 packs two windows' 4 quantity rows; wpb=1 wastes rows 4..7
+    bpp = nout // wpb                       # 8-row blocks per pair
+    part = pl.pallas_call(
+        _make_stokes_rows_kernel(tpw, wpb),
+        grid=(npair, nrow_v // tdf),
+        in_specs=[
+            pl.BlockSpec((1, 2, tdf, 2048), lambda p, t: (p, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 2048),
+            lambda p, t, tpb=tpw * wpb: (p * bpp + t // tpb, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npair * bpp * 8, 2048),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rows4)
+
+    g = part.reshape(npair, bpp, 8, 2048)
+    g = (g.reshape(npair, nout, 4, 2048) if wpb == 2
+         else g[:, :, :4, :])
+    g = g.sum(axis=3)                                   # lane fold
+    xx, yy = g[..., 0], g[..., 1]
+    re, im = g[..., 2], g[..., 3]
+    stokes = jnp.stack([xx + yy, xx - yy, 2 * re, 2 * im], axis=-1)
+    stokes = stokes.transpose(1, 2, 0)                  # (nout, 4, nchan)
+    if mean:
+        stokes = stokes / (ndf_w * 128)
+    return stokes
+
+
 def _stokes_kernel(x_ref, o_ref):
     """Fused full-Stokes detection tile.
 

@@ -274,9 +274,20 @@ class PowerPipeline:
 
             return step
         if stokes:
-            raise ValueError(
-                "device-layout blocks support power / tscrunch / any "
-                "PFB composition; plain Stokes needs the wire layout")
+            from ..ops.pallas_power import (
+                baseband2stokes_scrunch_rows_pallas,
+            )
+
+            interp = jax.default_backend() != "tpu"
+            squeeze = nout == 1
+
+            @jax.jit
+            def stokes_rows(block):
+                out = baseband2stokes_scrunch_rows_pallas(
+                    block, nout, mean=mean, interpret=interp)
+                return out[0] if squeeze else out
+
+            return stokes_rows
         from ..ops.power import baseband2power_scrunch_rows
 
         if nout > 1:

@@ -410,3 +410,27 @@ def test_power_scrunch_rows_matches_golden():
     got4 = np.asarray(baseband2power_scrunch_rows(rows2d, 4, mean=True))
     want4 = baseband2power_scrunch_golden(block, 4, mean=True)
     np.testing.assert_allclose(got4, want4, rtol=1e-5)
+
+
+def test_stokes_rows_pallas_matches_golden():
+    """Rows-layout Stokes (x tscrunch): the device-layout polarimetry
+    path (Re(xy*) = plain elementwise sum in the interleaved form)."""
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_golden,
+        baseband2stokes_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.ops.pallas_power import (
+        baseband2stokes_scrunch_rows_pallas,
+    )
+
+    block = F.synthetic_block(rng=105, ndf=32, nchk=NCHK)
+    rows2d = jnp.asarray(_to_rows(block).reshape(NCHK * 14, -1))
+    got1 = np.asarray(baseband2stokes_scrunch_rows_pallas(
+        rows2d, 1, interpret=True))
+    want1 = baseband2stokes_golden(block)
+    assert_close(got1[0], want1, rtol=1e-4)
+    for nout in (2, 4):
+        got = np.asarray(baseband2stokes_scrunch_rows_pallas(
+            rows2d, nout, mean=True, interpret=True))
+        want = baseband2stokes_scrunch_golden(block, nout, mean=True)
+        assert_close(got, want, rtol=1e-4)
