@@ -143,10 +143,115 @@ def bench_e2e(ndf: int, iters: int, depth: int = 2) -> dict:
     }
 
 
+def _slope(run, n1: int, n2: int, repeats: int = 3) -> float:
+    """Steady-state per-iteration time via a min-of-N two-point slope
+    (clamped: tunnel jitter can push the raw slope negative)."""
+    t1 = min(run(n1) for _ in range(repeats))
+    t2 = min(run(n2) for _ in range(repeats))
+    dt = (t2 - t1) / (n2 - n1)
+    if dt <= 0:
+        dt = t2 / n2
+    return dt
+
+
+def bench_matrix(ndf: int, iters: int) -> dict:
+    """The capability matrix in one artifact: every detection-mode family
+    at full geometry, measured with the same two-point-slope discipline.
+    Headline stays the direct power path (continuity with r1-r3 BENCH
+    artifacts); the ``matrix`` key carries the frontier modes the
+    headline saturated on (VERDICT r3 item 8)."""
+    from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
+    from paf_baseband2power_tpu.ops.pallas_power import (
+        baseband2power_pallas,
+        baseband2power_scrunch_pallas,
+        baseband2stokes_pallas,
+        baseband2stokes_scrunch_pallas,
+        baseband2stokes_scrunch_rows_pallas,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # matrix rows are Pallas kernels; off-TPU fall back to the XLA
+        # direct path only (smoke mode for CI)
+        step, _ = get_step("auto")
+        block = make_block_2d(ndf)
+        modes = [("power xla", step, block, None)]
+    else:
+        block = make_block_2d(ndf)
+        rows = make_block_rows(ndf)
+        hist = {}
+
+        def pfb_rows_step(nfft):
+            def step(b, key=f"h{nfft}"):
+                out, hist[key] = pfb_spectra_fused(
+                    b, nfft, 4, history=hist.get(key),
+                    return_history=True, layout="rows")
+                return out
+            return step
+
+        modes = [
+            ("power", baseband2power_pallas, block, None),
+            ("stokes", baseband2stokes_pallas, block, None),
+            ("scrunch[64]",
+             lambda b: baseband2power_scrunch_pallas(b, 64), block, None),
+            ("stokes x scrunch[64]",
+             lambda b: baseband2stokes_scrunch_pallas(b, 64), block, None),
+            ("stokes rows",
+             lambda b: baseband2stokes_scrunch_rows_pallas(b, 1), rows,
+             None),
+            ("pfb 128 rows streaming", pfb_rows_step(128), rows, None),
+            ("pfb 1024 rows streaming", pfb_rows_step(1024), rows, None),
+        ]
+
+    samples_per_block = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
+    stream_sec = ndf * C.TDF_SEC
+    matrix = []
+    headline = None
+    for name, step, blk, _ in modes:
+        np.asarray(step(blk))
+        np.asarray(step(blk))  # PFB paths compile a 2nd (history) program
+
+        def run(n, step=step, blk=blk):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = step(blk)
+            np.asarray(out)
+            return time.perf_counter() - t0
+
+        n1 = max(2, iters // 6)
+        dt = _slope(run, n1, 3 * n1)
+        row = {
+            "mode": name,
+            "block_ms": round(dt * 1e3, 2),
+            "x_realtime": round(stream_sec / dt, 1),
+            "samples_per_sec": samples_per_block / dt,
+        }
+        matrix.append(row)
+        if headline is None:
+            headline = row
+    return {
+        "metric": "baseband samples/s/chip (unpack+detect+integrate, "
+                  "pallas)",
+        "value": headline["samples_per_sec"],
+        "unit": "samples/s",
+        "vs_baseline": headline["samples_per_sec"] / BASELINE_SAMPLES_PER_SEC,
+        "matrix": matrix,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--matrix", action="store_true",
+                    help="measure the full detection-mode matrix (power/"
+                    "stokes/scrunch/pfb-rows) and fold it into the one "
+                    "JSON line; this is the DEFAULT when no mode flag is "
+                    "given on TPU")
+    ap.add_argument("--single", action="store_true",
+                    help="headline direct-power measurement only (the "
+                    "r1-r3 default)")
     ap.add_argument("--quick", action="store_true",
                     help="reduced block for smoke testing")
     ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
@@ -176,6 +281,13 @@ def main():
         return
 
     ndf = 256 if args.quick else C.NDF_BLK
+    mode_flag = (args.pfb or args.stokes or args.scrunch
+                 or args.device_layout or args.single
+                 or args.impl != "auto"
+                 or args.quick)  # --quick stays a fast single-mode smoke
+    if args.matrix or not mode_flag:
+        print(json.dumps(bench_matrix(ndf, args.iters)))
+        return
     if args.pfb and args.device_layout:
         # rows fast path: blocks already host-corner-turned (the capture
         # engine's device-layout mode); any PFB composition, no on-device

@@ -487,8 +487,19 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
     if layout == "rows":
         if block.ndim == 2:
             s_rows, cols = block.shape
+            if cols % (2 * _L):
+                raise ValueError(
+                    f"rows layout needs {2 * _L}-lane frame segments per "
+                    f"series row, got {cols} columns — is this a wire-"
+                    "order block passed as layout='rows'?")
             block = block.reshape(s_rows, cols // (2 * _L), 2 * _L)
         nseries_r, ndf, _ = block.shape
+        if nseries_r % (NCHAN_CHK * NPOL_SAMP):
+            raise ValueError(
+                f"rows layout needs nseries divisible by "
+                f"{NCHAN_CHK * NPOL_SAMP} (chan*pol per chunk), got "
+                f"{nseries_r} — is this a wire-order block passed as "
+                "layout='rows'?")
         nchk = nseries_r // (NCHAN_CHK * NPOL_SAMP)
         npol = NPOL_SAMP
     elif layout == "wire":

@@ -654,11 +654,11 @@ def pfb_spectra(block: jax.Array, nfft: int, ntap: int = 4,
     use ``ops.pallas_pfb.pfb_spectra_fused`` instead (the streaming factory
     dispatches automatically).
     """
-    nchk = block.shape[1]
-    npol = block.shape[4]
-    nsamp = block.shape[0] * (NSAMP_DF if block.ndim == 6 else 0)
     if block.ndim != 6:
         raise ValueError("pfb_spectra expects the canonical 6-D block")
+    nchk = block.shape[1]
+    npol = block.shape[4]
+    nsamp = block.shape[0] * NSAMP_DF
     nblk = nsamp // nfft
     if nblk % nout:
         raise ValueError(f"nout={nout} must divide {nblk} window slots")

@@ -448,6 +448,11 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
 
     n_time = mesh.shape[TIME_AXIS]
     if not nfft and nout == 1:
+        if not stokes:
+            raise ValueError(
+                "nfft=0, nout=1, stokes=False is plain power — use "
+                "make_multibeam_power_step_2d (this factory's nfft=0 "
+                "branches are the Stokes/scrunch compositions)")
         # plain full-Stokes across hosts: psum of local partials over time
         from ..constants import NSAMP_DF as _NS
         from ..ops.power import baseband2stokes_2d

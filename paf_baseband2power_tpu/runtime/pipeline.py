@@ -246,8 +246,10 @@ class PowerPipeline:
         capture engine's ``device_layout`` mode): the fused spectrometer
         consumes the rows directly — no on-device corner turn (measured
         62 -> 15 ms/block at nfft=128 on v5e) — and the direct power /
-        tscrunch reductions are layout-independent. Plain Stokes needs
-        the wire layout (its lane-roll kernel assumes 4-lane groups)."""
+        tscrunch reductions are layout-independent. Plain Stokes (and
+        Stokes x tscrunch) route through the rows pair-product kernel
+        ``baseband2stokes_scrunch_rows_pallas`` — adjacent x/y series
+        rows, interleaved re/im lanes."""
         import functools
 
         if nfft:
