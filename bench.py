@@ -44,8 +44,9 @@ def make_block_2d(ndf: int, seed: int = 0) -> jax.Array:
 
 def make_block_rows(ndf: int, seed: int = 0) -> jax.Array:
     """Series-row block as the capture engine's device-layout mode
-    delivers it: (nchk*14 series, ndf*256 lanes) int16."""
-    shape = (C.NCHK_NIC * 14, ndf * 256)
+    delivers it, in the 3-D device form the pipeline puts on device:
+    (nchk*14 series, ndf frames, 256 lanes) int16."""
+    shape = (C.NCHK_NIC * 14, ndf, 256)
     key = jax.random.key(seed)
     gen = jax.jit(
         lambda k: jax.random.randint(k, shape, -256, 256, dtype=jnp.int16)

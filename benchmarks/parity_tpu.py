@@ -106,8 +106,8 @@ def run_sweep(ndf: int, nchk: int, out_path: str,
     both = np.concatenate([b1, b2], axis=0)
     d1 = jnp.asarray(b1.reshape(ndf, -1))
     d2 = jnp.asarray(b2.reshape(ndf, -1))
-    r1 = jnp.asarray(_to_rows(b1).reshape(nchk * 14, -1))
-    r2 = jnp.asarray(_to_rows(b2).reshape(nchk * 14, -1))
+    r1 = jnp.asarray(_to_rows(b1))     # 3-D rows: the production form
+    r2 = jnp.asarray(_to_rows(b2))
 
     def save():
         report["ok"] = all(c.get("ok") for c in report["cases"])

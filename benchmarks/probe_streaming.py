@@ -43,7 +43,7 @@ def main():
     nfft = args.nfft
     key = jax.random.key(0)
     rows = jax.jit(lambda k: jax.random.randint(
-        k, (C.NCHK_NIC * 14, args.ndf * 256), -256, 256,
+        k, (C.NCHK_NIC * 14, args.ndf, 256), -256, 256,
         dtype=jnp.int16))(key)
     rows.block_until_ready()
 

@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import NCHAN_CHK, NPOL_SAMP, NSAMP_DF
 from .pfb import (
     _SLIDE_LANES,
-    _block_to_series,
+    history_as_complex,  # noqa: F401  (re-export: fused carries are rows-i16)
     pfb_sliding_fir_dft,
 )
 
@@ -82,6 +82,30 @@ def _rows_i16(block: jax.Array) -> jax.Array:
     y = block.transpose(1, 3, 4, 0, 2, 5)       # (nchk,7,pol,ndf,128,2)
     s = y.shape
     return y.reshape(s[0] * s[1] * s[2], s[3], s[4] * s[5])
+
+
+def _history_hrows(history: jax.Array, nseries: int, npol: int, ntap: int,
+                   nfft: int) -> jax.Array:
+    """Either carry format -> f32 ``(nseries, ntap-1, 2*nfft)`` kernel rows.
+
+    The fused kernels RETURN the carry as raw int16 series rows
+    ``(nseries, halo_ndf, 256)`` — a pure slice of their own input
+    (measured: producing the canonical complex carry instead costs
+    ~11 ms/block at nfft=1024 on v5e, a strided re/im split + re-
+    interleave round trip that dwarfs the 16 MB it moves; the raw slice
+    is free). They ACCEPT that form or the canonical complex carry
+    (``pfb_history``) interchangeably — both reduce to the same
+    interleaved f32 rows here.
+    """
+    if history.dtype == jnp.int16:
+        return history.reshape(nseries, ntap - 1,
+                               2 * nfft).astype(jnp.float32)
+    nchk = nseries // (NCHAN_CHK * npol)
+    h = history.reshape(nchk, NCHAN_CHK, npol, ntap - 1, nfft)
+    hrows = jnp.stack([jnp.real(h), jnp.imag(h)], axis=-1)
+    return hrows.reshape(nseries, ntap - 1, 2 * nfft)
+
+
 
 
 def _interleaved_ops(nfft: int, ntap: int, window: str):
@@ -179,10 +203,7 @@ def pfb_power_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
     flo = (f32 - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     if history is not None:
-        # complex (nchk, 7, npol, (ntap-1)*nfft) -> interleaved f32 rows
-        h = history.reshape(nchk, NCHAN_CHK, npol, ntap - 1, nfft)
-        hrows = jnp.stack([jnp.real(h), jnp.imag(h)], axis=-1)
-        hrows = hrows.reshape(nseries, ntap - 1, 2 * _L)
+        hrows = _history_hrows(history, nseries, npol, ntap, nfft)
     else:
         hrows = jnp.zeros((nseries, ntap - 1, 2 * _L), jnp.float32)
     # pad carry rows to a full 8-sublane block
@@ -219,10 +240,12 @@ def pfb_power_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
         power = jnp.fft.fftshift(power, axes=-1)
     power = power.reshape(-1)
     if return_history:
-        halo = (ntap - 1) * nfft
-        halo_ndf = -(-halo // NSAMP_DF)
-        v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
-        return power, v_tail
+        # raw rows-i16 carry: a pure slice of the kernel's own input (the
+        # canonical complex form costs a strided split + re-interleave;
+        # see _history_hrows). (ntap-1)*nfft is frame-aligned for every
+        # supported nfft (multiples of NSAMP_DF).
+        halo_ndf = (ntap - 1) * nfft // NSAMP_DF
+        return power, rows[:, -halo_ndf:, :]
     return power
 
 
@@ -471,9 +494,14 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
 
     ``block``: canonical 6-D int16 block or the 2-D device layout
     (``layout="wire"``, default), or a host-corner-turned series-row
-    block — ``(nseries, ndf, 256)`` int16 or its 2-D flattening — from
-    the capture engine's ``device_layout`` mode (``layout="rows"``),
-    which skips the ~45 ms on-device corner-turn relayout entirely.
+    block — ``(nseries, ndf, 256)`` int16 — from the capture engine's
+    ``device_layout`` mode (``layout="rows"``), which skips the ~45 ms
+    on-device corner-turn relayout entirely. Put rows blocks on device
+    3-D: a 2-D ``(nseries, ndf*256)`` flattening is accepted, but its
+    device tiling differs, so the in-jit reshape materializes a full
+    relayout copy (measured +8-9 ms/block at full geometry on v5e —
+    exactly the gap between the r3 artifact's "isolated" and production
+    rows numbers).
     Output: ``(nout, nchan*nfft)`` float32 waterfall, or with ``stokes``
     ``(nout, 4, nchan*nfft)`` I/Q/U/V (+ the overlap-save carry when
     ``return_history``). ``nout=1, stokes=False`` reproduces
@@ -537,9 +565,7 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
     flo = (f32 - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     if history is not None:
-        h = history.reshape(nchk, NCHAN_CHK, npol, ntap - 1, nfft)
-        hrows = jnp.stack([jnp.real(h), jnp.imag(h)], axis=-1)
-        hrows = hrows.reshape(nseries, ntap - 1, 2 * nfft)
+        hrows = _history_hrows(history, nseries, npol, ntap, nfft)
     else:
         hrows = jnp.zeros((nseries, ntap - 1, 2 * nfft), jnp.float32)
     hpad = jnp.pad(hrows, ((0, 0), (0, 8 - (ntap - 1)), (0, 0)))
@@ -636,16 +662,13 @@ def pfb_spectra_fused(block: jax.Array, nfft: int = _L, ntap: int = 4,
         out = jnp.fft.fftshift(out, axes=-1)
     out = out.reshape((nout, 4, -1) if stokes else (nout, -1))
     if return_history:
-        halo = (ntap - 1) * nfft
-        halo_ndf = -(-halo // NSAMP_DF)
-        if layout == "rows":
-            tail = rows[:, -halo_ndf:, :].astype(jnp.float32)
-            t2 = tail.reshape(nchk, NCHAN_CHK, npol,
-                              halo_ndf * NSAMP_DF, 2)
-            v_tail = jax.lax.complex(t2[..., 0], t2[..., 1])[..., -halo:]
-        else:
-            v_tail = _block_to_series(block[-halo_ndf:])[..., -halo:]
-        return out, v_tail
+        # raw rows-i16 carry: a pure slice of the (possibly host-turned)
+        # series rows already feeding the kernel. Producing the canonical
+        # complex carry here measured +10.9 ms/block at nfft=1024 on v5e
+        # (strided re/im split + re-interleave of a tiny 16 MB tail); the
+        # slice is free and _history_hrows accepts both formats.
+        halo_ndf = (ntap - 1) * nfft // NSAMP_DF
+        return out, rows[:, -halo_ndf:, :]
     return out
 
 

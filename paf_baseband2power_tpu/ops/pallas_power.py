@@ -438,8 +438,11 @@ def _make_stokes_rows_kernel(tpw: int, wpb: int):
     pair-swap roll (``sum(alt * x * swap(y))``) — 2 rolls + 4 products
     per element vs the wire kernel's 3 cross-lane rolls + 4 products over
     4-lane groups. Four quantity rows per window, ``wpb`` windows per
-    (8, 256) output block (dynamic stores, ``_make_scrunch_kernel``
-    pattern).
+    (8, lanes) output block (dynamic stores, ``_make_scrunch_kernel``
+    pattern). Tiles are (1, 2, R, 256) native-layout frame rows — any
+    wider row view forces a full device relayout of the input (measured:
+    the r3 2048-lane view cost ~40 ms/block at full geometry, 6x the
+    kernel itself).
     """
 
     def kernel(x_ref, o_ref):
@@ -470,61 +473,72 @@ def _make_stokes_rows_kernel(tpw: int, wpb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nout", "mean", "interpret"))
-def baseband2stokes_scrunch_rows_pallas(rows2d: jax.Array, nout: int = 1,
+def baseband2stokes_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
                                         mean: bool = False,
                                         interpret: bool = False
                                         ) -> jax.Array:
     """Stokes (x sub-block integration) from series-row blocks ->
     ``(nout, 4, nchan)`` float32 (oracle:
     ``ops.golden.baseband2stokes_scrunch_golden``; ``nout=1`` for plain
-    Stokes). Input: int16 ``(nseries, ndf*256)`` as the capture engine's
-    ``device_layout`` mode delivers.
+    Stokes). Input: int16 ``(nseries, ndf, 256)`` series rows as the
+    capture engine's ``device_layout`` mode delivers (a 2-D
+    ``(nseries, ndf*256)`` flattening is accepted, but costs a full
+    tiled-relayout copy on device — put rows blocks 3-D; see
+    ``pfb_spectra_fused``'s layout note).
+
+    The tiles consume the natural (8, 128)-tiled rows layout directly:
+    ``(1, 2, R, 256)`` blocks — one (chunk, channel) pair's x and y
+    series, R frames at a time. The r3 formulation viewed 8 frames as one
+    2048-lane row, which forced a device relayout of the whole 2.8 GB
+    block in front of the kernel (the same trap the wire kernels dodge by
+    staying 2-D) — with the native-view tiles the kernel streams at the
+    input layout and the relayout disappears.
     """
-    nseries, cols = rows2d.shape
+    if rows.ndim == 2:
+        nseries, cols = rows.shape
+        rows = rows.reshape(nseries, cols // 256, 256)
+    nseries, ndf, lanes = rows.shape
+    if lanes != 256:
+        raise ValueError(f"series rows need 256 lanes per frame, got "
+                         f"{lanes}")
     npair = nseries // 2
-    ndf = cols // 256
     if ndf % nout:
         raise ValueError(f"nout={nout} must divide {ndf} frames")
     wpb = 2 if nout % 2 == 0 and nout > 1 else 1
     ndf_w = ndf // nout
-    # view 8 frames per row (2048 lanes — pair parity survives any even
-    # regroup, so the swap roll still pairs re/im): 256-lane tiles
-    # measured 104 GB/s on v5e, the wide view keeps the VPU fed
-    if ndf_w % 8:
-        raise ValueError(f"window of {ndf_w} frames must be a multiple "
-                         "of 8 (wide-row tiling)")
-    nrow_v = ndf // 8
-    ndf_w_v = ndf_w // 8
-    tdf = ndf_w_v
-    while tdf > 1 and (ndf_w_v % tdf or tdf * 2048 * 2 * 2 > 2 ** 19):
+    # time tile: power-of-two frame rows, <= 256 KB int16 per pol slab
+    # (f32 temporaries x/y/swap/products are (R, 256)-sized against the
+    # 16 MB scoped-vmem budget)
+    tdf = ndf_w
+    while tdf > 8 and (ndf_w % tdf or tdf * 256 * 2 * 2 > 2 ** 19):
         tdf //= 2
-    if ndf_w_v % tdf:
+    if ndf_w % tdf:
         raise ValueError(f"window of {ndf_w} frames has no power-of-two "
                          "tile split")
-    tpw = ndf_w_v // tdf
+    tpw = ndf_w // tdf
 
-    rows4 = rows2d.reshape(npair, 2, nrow_v, 2048)
+    rows4 = rows.reshape(npair, 2, ndf, 256)    # leading split: no relayout
     # output blocks are always 8 sublanes (Mosaic tiling requirement):
     # wpb=2 packs two windows' 4 quantity rows; wpb=1 wastes rows 4..7
     bpp = nout // wpb                       # 8-row blocks per pair
     part = pl.pallas_call(
         _make_stokes_rows_kernel(tpw, wpb),
-        grid=(npair, nrow_v // tdf),
+        grid=(npair, ndf // tdf),
         in_specs=[
-            pl.BlockSpec((1, 2, tdf, 2048), lambda p, t: (p, 0, t, 0),
+            pl.BlockSpec((1, 2, tdf, 256), lambda p, t: (p, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (8, 2048),
+            (8, 256),
             lambda p, t, tpb=tpw * wpb: (p * bpp + t // tpb, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npair * bpp * 8, 2048),
+        out_shape=jax.ShapeDtypeStruct((npair * bpp * 8, 256),
                                        jnp.float32),
         interpret=interpret,
     )(rows4)
 
-    g = part.reshape(npair, bpp, 8, 2048)
-    g = (g.reshape(npair, nout, 4, 2048) if wpb == 2
+    g = part.reshape(npair, bpp, 8, 256)
+    g = (g.reshape(npair, nout, 4, 256) if wpb == 2
          else g[:, :, :4, :])
     g = g.sum(axis=3)                                   # lane fold
     xx, yy = g[..., 0], g[..., 1]

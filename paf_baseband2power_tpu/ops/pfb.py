@@ -494,6 +494,8 @@ def pfb_power(block: jax.Array, nfft: int, ntap: int = 4,
     nchk = block.shape[1]
     npol = block.shape[4]
     halo = (ntap - 1) * nfft
+    if history is not None:
+        history = history_as_complex(history, ntap, nfft, npol)
     if chunk_groups is None:
         chunk_groups = default_chunk_groups(nfft, nchk, method)
     method = resolve_method(nfft, method)
@@ -578,6 +580,27 @@ def pfb_history(block: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
     overlap-save carry."""
     v = _block_to_series(block)
     return v[..., -(ntap - 1) * nfft:]
+
+
+def history_as_complex(history: jax.Array, ntap: int, nfft: int,
+                       npol: int = 2) -> jax.Array:
+    """Normalize an overlap-save carry to the canonical complex format
+    ``(nchk, nchan_chk, npol, (ntap-1)*nfft)`` (what ``pfb_history``
+    returns).
+
+    The fused Pallas kernels return their carry as raw int16 series rows
+    ``(nseries, halo_ndf, 256)`` — a pure slice of their input (producing
+    the complex form there measured ~11 ms/block at nfft=1024 on v5e).
+    The XLA paths and any inspection/tooling use this converter; complex
+    input passes through unchanged.
+    """
+    if jnp.iscomplexobj(history):
+        return history
+    nseries = history.shape[0]
+    nchk = nseries // (NCHAN_CHK * npol)
+    halo = (ntap - 1) * nfft
+    t = history.astype(jnp.float32).reshape(nchk, NCHAN_CHK, npol, halo, 2)
+    return jax.lax.complex(t[..., 0], t[..., 1])
 
 
 def _spectra_detect(v: jax.Array, nfft: int, stokes: bool, method: str,
@@ -699,6 +722,7 @@ def pfb_spectra(block: jax.Array, nfft: int, ntap: int = 4,
         g = g.reshape((nchk,) + g.shape[2:])
 
     if history is not None:
+        history = history_as_complex(history, ntap, nfft, npol)
         boundary = jnp.concatenate([history, v[..., :halo]], axis=-1)
         s_b = _spectra_detect(boundary, nfft, stokes, method, ops)
         g = g.at[..., 0, :].add(s_b.sum(axis=-2))

@@ -229,16 +229,27 @@ def baseband2power_scrunch_rows(rows2d: jax.Array, nout: int = 1,
 
     |x|^2 is layout-independent, so this is the same single fused HBM
     pass as the wire-layout path — only the tiny per-series fold differs.
+    A 3-D ``(nseries, ndf, 256)`` rows block (the preferred device form —
+    see ``pallas_pfb.pfb_spectra_fused``'s layout note) is accepted
+    directly; the window split then only divides the frame axis, a
+    layout-preserving reshape.
     """
-    nseries, cols = rows2d.shape
+    if rows2d.ndim == 3:
+        nseries, ndf, l = rows2d.shape
+        cols = ndf * l
+        x = rows2d
+    else:
+        nseries, cols = rows2d.shape
+        ndf = cols // (2 * NSAMP_DF)
+        x = rows2d.reshape(nseries, ndf, 2 * NSAMP_DF)
     nchan = nseries // NPOL_SAMP
-    ndf = cols // (2 * NSAMP_DF)
     if cols % (2 * NSAMP_DF) or ndf % nout:
         raise ValueError(
             f"nout={nout} must divide the {ndf} frames per block "
             "(windows align to whole frames, matching the wire path)")
-    x = rows2d.reshape(nseries, nout, cols // nout).astype(jnp.float32)
-    partial = jnp.sum(x * x, axis=2)                  # (nseries, nout)
+    x = x.reshape(nseries, nout, ndf // nout, x.shape[-1]
+                  ).astype(jnp.float32)
+    partial = jnp.sum(x * x, axis=(2, 3))             # (nseries, nout)
     power = partial.reshape(nchan, NPOL_SAMP, nout).sum(axis=1)
     power = power.T                                   # (nout, nchan)
     if mean:

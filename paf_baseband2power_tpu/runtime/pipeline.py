@@ -328,7 +328,7 @@ class PowerPipeline:
         # zeros created on device: a host block would be 2.8 GB at full
         # geometry and ship it through the (slow) H2D path for nothing
         if self._device_layout:
-            x = jnp.zeros((nchk * C.NCHAN_CHK * C.NPOL_SAMP, ndf * 256),
+            x = jnp.zeros((nchk * C.NCHAN_CHK * C.NPOL_SAMP, ndf, 256),
                           dtype=jnp.int16)
         else:
             x = jnp.zeros((ndf, nchk * C.DT_SIZE // 2), dtype=jnp.int16)
@@ -393,10 +393,16 @@ class PowerPipeline:
 
         try:
             for block in source:
+                if self._device_layout and block.ndim == 2:
+                    # rows blocks go H2D 3-D (nseries, ndf, 256): the
+                    # host reshape is free, and a 2-D device array costs
+                    # a full tiled-relayout copy in front of every rows
+                    # kernel (measured ~8 ms/block at full geometry)
+                    block = block.reshape(block.shape[0], -1, 256)
                 if not stats.ndf:
                     # frames per block: rows-layout blocks are
-                    # (nseries, ndf*256), wire blocks (ndf, lanes)
-                    stats.ndf = (block.shape[1] // 256
+                    # (nseries, ndf, 256), wire blocks (ndf, lanes)
+                    stats.ndf = (block.shape[1]
                                  if self._device_layout else block.shape[0])
                 x = jax.device_put(block)
                 if self._stateful:

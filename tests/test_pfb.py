@@ -229,8 +229,10 @@ def test_fused_pfb_streaming_history_continuity():
     total = np.asarray(p1) + np.asarray(p2)
     want = pfb.pfb_power_golden(both, 128, 4)
     np.testing.assert_allclose(total, want, rtol=2e-4)
+    # fused carries are raw rows-i16 slices; normalize to compare
     ref = pfb.pfb_history(jnp.asarray(b2), 128, 4)
-    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(pfb.history_as_complex(h2, 4, 128)), np.asarray(ref))
 
 
 def test_fused_pfb_agrees_with_xla_path():

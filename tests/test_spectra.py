@@ -224,7 +224,8 @@ def test_fused_spectra_streaming_continuity(nfft, ndf, stokes):
     assert_close(np.asarray(p1), want[:1])
     assert_close(np.asarray(p2), want[1:])
     ref = pfb.pfb_history(jnp.asarray(b2), nfft, NTAP)
-    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(pfb.history_as_complex(h2, NTAP, nfft)), np.asarray(ref))
 
 
 def test_fused_spectra_agrees_with_xla_and_2d():
@@ -392,7 +393,8 @@ def test_fused_spectra_rows_streaming_history():
     assert_close(np.asarray(p1), want[:1])
     assert_close(np.asarray(p2), want[1:])
     ref = pfb.pfb_history(jnp.asarray(b2), 128, NTAP)
-    np.testing.assert_allclose(np.asarray(h2), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(pfb.history_as_complex(h2, NTAP, 128)), np.asarray(ref))
 
 
 def test_power_scrunch_rows_matches_golden():
