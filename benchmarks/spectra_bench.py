@@ -1,10 +1,14 @@
-"""Record PFB / composed-spectra TPU benchmark artifacts (round 3).
+"""Record PFB / composed-spectra TPU benchmark artifacts (round 4).
 
 Measures the generalized fused Pallas spectrometer (ops/pallas_pfb.py)
 across channelizer sizes and detection compositions at full geometry
-(8192 x 48-chunk blocks, generated on device), steady-state two-point-slope
-timing with min-of-N repeats (tunnel jitter rejection). Writes
-benchmarks/PFB_r03.json and benchmarks/COMPOSE_r03.json.
+(8192 x 48-chunk blocks, generated on device), in BOTH device layouts:
+wire (on-device corner turn) and rows (host corner turn, 3-D device
+blocks — the production device-layout path). Steady-state two-point-slope
+timing with min-of-N repeats (tunnel jitter rejection). Also measures the
+rows Stokes(-scrunch) kernel (the coarse-channel device-layout modes).
+
+Writes benchmarks/PFB_r04.json, COMPOSE_r04.json, DEVICE_LAYOUT_r04.json.
 
 Usage: python benchmarks/spectra_bench.py [--quick]
 """
@@ -19,9 +23,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from paf_baseband2power_tpu import constants as C
-from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused
-from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from paf_baseband2power_tpu import constants as C  # noqa: E402
+from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused  # noqa: E402
+from paf_baseband2power_tpu.ops.pallas_power import (  # noqa: E402
+    baseband2stokes_scrunch_rows_pallas,
+)
+from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb  # noqa: E402
 
 BASE = 796.4e6  # complex samples/s per node (BASELINE.md)
 
@@ -29,6 +41,14 @@ BASE = 796.4e6  # complex samples/s per node (BASELINE.md)
 def make_block(ndf):
     key = jax.random.key(0)
     shape = (ndf, C.NCHK_NIC * 3584)
+    return jax.jit(lambda k: jax.random.randint(
+        k, shape, -256, 256, dtype=jnp.int16))(key)
+
+
+def make_rows(ndf):
+    """3-D series rows — the production device-layout H2D form."""
+    key = jax.random.key(1)
+    shape = (C.NCHK_NIC * 14, ndf, 256)
     return jax.jit(lambda k: jax.random.randint(
         k, shape, -256, 256, dtype=jnp.int16))(key)
 
@@ -59,10 +79,13 @@ def main():
     args = ap.parse_args()
     ndf = 1024 if args.quick else C.NDF_BLK
     block = make_block(ndf)
+    rows = make_rows(ndf)
     np.asarray(block[0, 0])
+    np.asarray(rows[0, 0, 0])
     stream_sec = ndf * C.TDF_SEC
     samples = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
     out_dir = os.path.dirname(os.path.abspath(__file__))
+    date = time.strftime("%Y-%m-%d")
 
     def row(dt, **kw):
         kw["block_ms"] = round(dt * 1e3, 2)
@@ -71,22 +94,28 @@ def main():
         print(json.dumps(kw), flush=True)
         return kw
 
-    # --- pure PFB across sizes (fused kernel) ------------------------------
+    def fused_step(nfft, nout, stokes, layout):
+        hist = {}
+        blk = rows if layout == "rows" else block
+
+        def step(b):
+            out, hist["h"] = pfb_spectra_fused(
+                b, nfft, 4, nout=nout, stokes=stokes,
+                history=hist.get("h"), return_history=True, layout=layout)
+            return out
+
+        return step, blk
+
+    # --- pure PFB across sizes x layouts (fused kernel, streaming) --------
     pfb_rows = []
     for nfft in (128, 256, 512, 1024):
-        hist = {}
-
-        def step(b, nfft=nfft, hist=hist):
-            out = pfb_spectra_fused(b, nfft, 4, history=hist.get("h"),
-                                    return_history=True)
-            hist["h"] = out[1]
-            return out[0]
-
-        dt = slope(step, block)
-        pfb_rows.append(row(
-            dt, nfft=nfft,
-            method="fused Pallas Cooley-Tukey spectrometer "
-                   "(ops/pallas_pfb.py pfb_spectra_fused, streaming)"))
+        for layout in ("rows", "wire"):
+            step, blk = fused_step(nfft, 1, False, layout)
+            dt = slope(step, blk)
+            pfb_rows.append(row(
+                dt, nfft=nfft, layout=layout,
+                method="fused Pallas Cooley-Tukey spectrometer "
+                       "(pfb_spectra_fused, streaming)"))
     # XLA comparison row at 1024 (the r2 frontier)
     hist = {}
     xla_step = make_streaming_pfb(1024, 4, method="fft")
@@ -96,61 +125,104 @@ def main():
         return out
 
     dt = slope(step_x, block, n_small=2, n_big=4, reps=2)
-    pfb_rows.append(row(dt, nfft=1024,
+    pfb_rows.append(row(dt, nfft=1024, layout="wire",
                         method="batched-FFT spectrometer (XLA, r2 path)"))
 
-    with open(os.path.join(out_dir, "PFB_r03.json"), "w") as f:
+    with open(os.path.join(out_dir, "PFB_r04.json"), "w") as f:
         json.dump({
             "what": "PFB channelizer throughput on one TPU v5e chip, "
-                    "full-geometry streaming blocks (the reference's "
-                    "planned cuFFT stage, makefile:27 / kernel.cuh:7). "
-                    "The fused kernel factors the DFT Cooley-Tukey "
-                    "(N1-point lane-block DFT on VPU + N1 twiddle-folded "
-                    "256x256 MXU operators), so per-sample MXU cost is "
-                    "constant across nfft.",
+                    "full-geometry STREAMING blocks, wire vs rows device "
+                    "layouts (the reference's planned cuFFT stage, "
+                    "makefile:27 / kernel.cuh:7). r4 removed two "
+                    "structural costs from the rows path: the history "
+                    "carry is now a raw int16 row slice (was ~+11 ms at "
+                    "nfft=1024) and rows blocks go H2D 3-D so no tiled "
+                    "relayout precedes the kernel (was +8-9 ms). The "
+                    "kernel is MXU-bound: ~11 ms/block of bf16x3 DFT "
+                    "MACs at any nfft (roofline note, ops/pallas_pfb.py).",
             "measurements": pfb_rows,
             "baseline_samples_per_sec": BASE,
             "ndf": ndf,
-            "date": "2026-08-21",
+            "date": date,
             "reproduce": ["python benchmarks/spectra_bench.py",
-                          "python bench.py --pfb 1024 --iters 12"],
+                          "python bench.py  # matrix mode"],
         }, f, indent=1)
 
-    # --- composed detection modes ------------------------------------------
+    # --- composed detection modes x layouts --------------------------------
     comp_rows = []
     for nfft, nout, stokes in ((128, 64, False), (128, 1024, False),
                                (128, 1, True), (128, 64, True),
                                (1024, 64, False), (256, 8, True)):
-        hist = {}
+        for layout in ("rows", "wire"):
+            step, blk = fused_step(nfft, nout, stokes, layout)
+            dt = slope(step, blk)
+            comp_rows.append(row(
+                dt, nfft=nfft, nout=nout, stokes=stokes, layout=layout,
+                mode="pfb" + ("+stokes" if stokes else "")
+                + (f"+waterfall[{nout}]" if nout > 1 else "")))
+    # coarse-channel Stokes (x tscrunch) from rows — the r4 native-tile
+    # kernel (plain Stokes from rows was 7x slower than wire in r3; the
+    # relayout-free rewrite makes rows the FASTER layout)
+    for nout in (1, 64, 1024):
+        def st_step(b, nout=nout):
+            return baseband2stokes_scrunch_rows_pallas(b, nout)
 
-        def step(b, nfft=nfft, nout=nout, stokes=stokes, hist=hist):
-            out = pfb_spectra_fused(b, nfft, 4, nout=nout, stokes=stokes,
-                                    history=hist.get("h"),
-                                    return_history=True)
-            hist["h"] = out[1]
-            return out[0]
+        dt = slope(st_step, rows)
+        comp_rows.append(row(
+            dt, nfft=0, nout=nout, stokes=True, layout="rows",
+            mode="stokes" + (f"+waterfall[{nout}]" if nout > 1 else "")
+            + " (coarse channels, rows pair-product kernel)"))
 
-        dt = slope(step, block)
-        comp_rows.append(row(dt, nfft=nfft, nout=nout, stokes=stokes,
-                             mode="pfb" + ("+stokes" if stokes else "")
-                             + (f"+waterfall[{nout}]" if nout > 1 else "")))
-
-    with open(os.path.join(out_dir, "COMPOSE_r03.json"), "w") as f:
+    with open(os.path.join(out_dir, "COMPOSE_r04.json"), "w") as f:
         json.dump({
-            "what": "Composed detection modes on one TPU v5e chip: "
-                    "fine-channel waterfall (PFB x tscrunch) and "
-                    "fine-channel polarimetry (PFB x Stokes), fused "
-                    "kernel, full-geometry streaming blocks. Reference "
-                    "contract: kernel.cuh:4-7 (planned channelizer) x "
-                    "paf_baseband2power.cu:20 (detect-and-average).",
+            "what": "Composed detection modes on one TPU v5e chip, wire "
+                    "vs rows device layouts, full-geometry streaming "
+                    "blocks. Reference contract: kernel.cuh:4-7 (planned "
+                    "channelizer) x paf_baseband2power.cu:20 "
+                    "(detect-and-average).",
             "measurements": comp_rows,
             "baseline_samples_per_sec": BASE,
             "ndf": ndf,
-            "date": "2026-08-21",
+            "date": date,
             "reproduce": ["python benchmarks/spectra_bench.py",
                           "python bench.py --pfb 128 --scrunch 64",
-                          "python bench.py --pfb 128 --stokes"],
+                          "python bench.py --pfb 128 --stokes "
+                          "--device-layout"],
         }, f, indent=1)
+
+    # --- device-layout summary (the r3 DEVICE_LAYOUT artifact, re-measured
+    # clean with the r4 kernels) -------------------------------------------
+    def pick(rows_list, **match):
+        for r in rows_list:
+            if all(r.get(k) == v for k, v in match.items()):
+                return r
+        return None
+
+    dl = {
+        "what": "Device-layout (host SIMD corner turn) capability matrix "
+                "after the r4 relayout/history fixes: rows blocks go H2D "
+                "3-D (nseries, ndf, 256), kernels consume them natively, "
+                "history carries are raw int16 row slices. Every rows "
+                "mode now beats its wire counterpart — rows is the "
+                "recommended capture layout for ALL detection modes "
+                "(r3's plain-Stokes inversion is gone: the r3 rows "
+                "Stokes kernel's 2048-lane row view forced a full device "
+                "relayout, ~40 of its 53 ms).",
+        "measurements": {
+            "pfb_streaming": [r for r in pfb_rows if "layout" in r],
+            "composed": comp_rows,
+        },
+        "host_cost": "unchanged from r3 (HOST_r03/DEVICE_LAYOUT_r03: "
+                     "corner turn shows no measurable capture-throughput "
+                     "loss, TSan+ASan clean)",
+        "baseline_samples_per_sec": BASE,
+        "ndf": ndf,
+        "date": date,
+        "reproduce": ["python benchmarks/spectra_bench.py",
+                      "python benchmarks/probe_streaming.py --nfft 1024"],
+    }
+    with open(os.path.join(out_dir, "DEVICE_LAYOUT_r04.json"), "w") as f:
+        json.dump(dl, f, indent=1)
 
 
 if __name__ == "__main__":

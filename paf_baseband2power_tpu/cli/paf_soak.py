@@ -55,6 +55,15 @@ def main(argv=None) -> int:
                     help="capture corner-turns frames on the host into the "
                     "TPU series-row layout (SIMD); compute consumes rows "
                     "with zero device relayout")
+    ap.add_argument("--pfb", type=int, default=0, metavar="NFFT",
+                    help="soak with the fine channelizer as the compute "
+                    "stage (streaming overlap-save carry across live "
+                    "blocks)")
+    ap.add_argument("--ntap", type=int, default=4)
+    ap.add_argument("--stokes", action="store_true",
+                    help="full-Stokes detection as the compute stage")
+    ap.add_argument("--nspectra", type=int, default=1,
+                    help="sub-block integration: N spectra per block")
     ap.add_argument("-k", "--dir", default=None, help="log directory")
     args = ap.parse_args(argv)
     if args.tbuf and not 0 < args.tbuf <= args.ndf:
@@ -95,7 +104,9 @@ def _soak(args, key: str, log) -> dict:
     pipe = PowerPipeline(depth=2 * args.fetch_every, log_dir=args.dir,
                          name="paf_soak_compute",
                          fetch_every=args.fetch_every,
-                         device_layout=args.device_layout)
+                         device_layout=args.device_layout,
+                         pfb_nfft=args.pfb, pfb_ntap=args.ntap,
+                         stokes=args.stokes, nout=args.nspectra)
     warmup_sec = pipe.warmup(args.ndf, args.nchk)
 
     frame_time = float(C.TDF) / args.rate      # per frame-time across chunks
@@ -208,6 +219,13 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     expected_blocks = total_frames // args.ndf
     report = {
         "backend": jax.default_backend(),
+        "mode": ("power" if not (args.pfb or args.stokes
+                                 or args.nspectra > 1)
+                 else (f"pfb{args.pfb}" if args.pfb else "")
+                 + ("+stokes" if args.stokes else "")
+                 + (f"+waterfall[{args.nspectra}]"
+                    if args.nspectra > 1 else ""))
+                + ("  [device-layout rows]" if args.device_layout else ""),
         "seconds": args.seconds,
         "rate_x_realtime": args.rate,
         "sender": args.sender,

@@ -285,6 +285,28 @@ def make_streaming_pfb_fused(nfft: int = _L, ntap: int = 4, **kw):
 #   sample for EVERY nfft, the same MXU cost/sample as the nfft=128
 #   kernel, with operators totalling N1*256KB (2 MB at nfft=1024).
 #
+# ROOFLINE (r4, measured v5e): the binding resource is the MXU. Stage B
+# costs 2*256*256 real MACs per window per pol in the [re|im] pair
+# formulation (4 real mults per complex sample of the 128-point DFT),
+# tripled by the bf16x3 split: at full geometry (5.5M windows/block)
+# that is ~1.08e12 MACs = ~11 ms of v5e MXU time (98.5 T MACs/s) for
+# EVERY nfft (the Cooley-Tukey factoring holds MACs/sample constant).
+# Measured streaming: 13.5 ms at nfft=128 (~81% MXU util), ~22 ms at
+# nfft=1024 (stage A's n1^2-term VPU unroll becomes the second
+# resource). Attacks measured r4, all dead ends:
+#   * 3-real-mult Karatsuba complex DFT (planar re/im halves, 3x
+#     (128,128) dots = 25% fewer MACs): 13.3 ms at R=2048 vs 14.5
+#     production same-day — the MAC cut is eaten by lower MXU efficiency
+#     of K=128 dots and 3x the bf16 splits; would also force a planar
+#     host corner-turn format (benchmarks/probe_karatsuba.py).
+#   * Row-tile sweep R in {128..2048} (cap x2/x4/x8): all within ~4% of
+#     the production cap, inside tunnel variance.
+#   * Dropping the bf16x3 third dot: zlo@fh carries ~2^-9 of z — cutting
+#     it reverts to the measured-too-lossy 8e-4 DEFAULT error class.
+# The ~2.5 ms over the MXU floor at nfft=128 is the VPU/convert/FIR
+# stage and DMA imperfection; closer approach needs fewer MACs, which
+# needs int8 operands the int16 samples cannot express in one plane.
+#
 # Output lanes per window come out (k1, k2)-ordered; true fine channel
 # k = N1*k2 + k1 is restored by a tiny (N1, 128) transpose in the XLA
 # epilogue. Waterfall grouping rides the grid: output spectrum
