@@ -79,9 +79,7 @@ def main():
     args = ap.parse_args()
     ndf = 1024 if args.quick else C.NDF_BLK
     block = make_block(ndf)
-    rows = make_rows(ndf)
     np.asarray(block[0, 0])
-    np.asarray(rows[0, 0, 0])
     stream_sec = ndf * C.TDF_SEC
     samples = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
     out_dir = os.path.dirname(os.path.abspath(__file__))
@@ -106,8 +104,30 @@ def main():
 
         return step, blk
 
-    # --- pure PFB across sizes x layouts (fused kernel, streaming) --------
+    # --- XLA comparison row at 1024 (the r2 frontier) FIRST: its ~13 GB
+    # of fft temporaries don't coexist with the rows block in 16 GB HBM
     pfb_rows = []
+    try:
+        hist = {}
+        xla_step = make_streaming_pfb(1024, 4, method="fft")
+
+        def step_x(b):
+            out, hist["h"] = xla_step(b, hist.get("h"))
+            return out
+
+        dt = slope(step_x, block, n_small=2, n_big=4, reps=2)
+        pfb_rows.append(row(dt, nfft=1024, layout="wire",
+                            method="batched-FFT spectrometer (XLA, "
+                                   "r2 path)"))
+        del hist, xla_step
+    except Exception as e:  # HBM pressure varies with tunnel allocator
+        print(f"XLA comparison row skipped: {type(e).__name__}",
+              flush=True)
+
+    rows = make_rows(ndf)
+    np.asarray(rows[0, 0, 0])
+
+    # --- pure PFB across sizes x layouts (fused kernel, streaming) --------
     for nfft in (128, 256, 512, 1024):
         for layout in ("rows", "wire"):
             step, blk = fused_step(nfft, 1, False, layout)
@@ -116,17 +136,6 @@ def main():
                 dt, nfft=nfft, layout=layout,
                 method="fused Pallas Cooley-Tukey spectrometer "
                        "(pfb_spectra_fused, streaming)"))
-    # XLA comparison row at 1024 (the r2 frontier)
-    hist = {}
-    xla_step = make_streaming_pfb(1024, 4, method="fft")
-
-    def step_x(b):
-        out, hist["h"] = xla_step(b, hist.get("h"))
-        return out
-
-    dt = slope(step_x, block, n_small=2, n_big=4, reps=2)
-    pfb_rows.append(row(dt, nfft=1024, layout="wire",
-                        method="batched-FFT spectrometer (XLA, r2 path)"))
 
     with open(os.path.join(out_dir, "PFB_r04.json"), "w") as f:
         json.dump({

@@ -257,3 +257,32 @@ def test_fused_pfb_2d_block_and_validation():
     with pytest.raises(ValueError):
         pallas_pfb.pfb_power_fused(jnp.asarray(block), nfft=64,
                                    interpret=True)
+
+
+def test_xla_paths_accept_rows_i16_carry():
+    """Cross-format safety: the streaming factories dispatch per traced
+    shape between the fused kernel (raw rows-i16 carry) and the XLA
+    formulations — the XLA paths must consume the raw carry and match
+    the canonical complex one exactly (history_as_complex)."""
+    b1 = F.synthetic_block(rng=61, ndf=NDF, nchk=NCHK)
+    b2 = F.synthetic_block(rng=62, ndf=NDF, nchk=NCHK)
+    # the raw carry as the fused kernels produce it: trailing frame rows
+    nfft = 128  # frame-aligned halo needs nfft multiple of NSAMP_DF
+    halo_ndf = (NTAP - 1) * nfft // C.NSAMP_DF
+    rows_tail = jnp.asarray(np.ascontiguousarray(
+        b1[-halo_ndf:].transpose(1, 3, 4, 0, 2, 5)
+        .reshape(NCHK * 14, halo_ndf, 256)))
+    complex_h = pfb.pfb_history(jnp.asarray(b1), nfft, NTAP)
+    np.testing.assert_allclose(
+        np.asarray(pfb.history_as_complex(rows_tail, NTAP, nfft)),
+        np.asarray(complex_h))
+    a = np.asarray(pfb.pfb_power(jnp.asarray(b2), nfft, NTAP,
+                                 history=rows_tail))
+    b = np.asarray(pfb.pfb_power(jnp.asarray(b2), nfft, NTAP,
+                                 history=complex_h))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    sa = np.asarray(pfb.pfb_spectra(jnp.asarray(b2), nfft, NTAP, nout=2,
+                                    history=rows_tail))
+    sb = np.asarray(pfb.pfb_spectra(jnp.asarray(b2), nfft, NTAP, nout=2,
+                                    history=complex_h))
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
