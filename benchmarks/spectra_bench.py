@@ -6,7 +6,15 @@ across channelizer sizes and detection compositions at full geometry
 wire (on-device corner turn) and rows (host corner turn, 3-D device
 blocks — the production device-layout path). Steady-state two-point-slope
 timing with min-of-N repeats (tunnel jitter rejection). Also measures the
-rows Stokes(-scrunch) kernel (the coarse-channel device-layout modes).
+rows power/Stokes kernels (the coarse-channel device-layout modes).
+
+HBM discipline (r4 lesson): only ONE full-geometry input block lives at
+a time (wire pass, then rows pass), and in-flight outputs are bounded at
+depth 2 by dropping references — holding 2.8 GB x 2 inputs plus eight
+352 MB waterfall outputs measured 8-70x distortions from allocator
+pressure. Completion is forced by fetching a tiny slice of the last
+output (a full np.asarray of a 352 MB waterfall would measure the
+tunnel, not the kernel).
 
 Writes benchmarks/PFB_r04.json, COMPOSE_r04.json, DEVICE_LAYOUT_r04.json.
 
@@ -14,6 +22,7 @@ Usage: python benchmarks/spectra_bench.py [--quick]
 """
 
 import argparse
+import collections
 import json
 import os
 import time
@@ -31,11 +40,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from paf_baseband2power_tpu import constants as C  # noqa: E402
 from paf_baseband2power_tpu.ops.pallas_pfb import pfb_spectra_fused  # noqa: E402
 from paf_baseband2power_tpu.ops.pallas_power import (  # noqa: E402
+    baseband2power_scrunch_rows_pallas,
     baseband2stokes_scrunch_rows_pallas,
 )
 from paf_baseband2power_tpu.ops.pfb import make_streaming_pfb  # noqa: E402
 
 BASE = 796.4e6  # complex samples/s per node (BASELINE.md)
+
+COMPOSED = ((128, 64, False), (128, 1024, False), (128, 1, True),
+            (128, 64, True), (1024, 64, False), (256, 8, True))
 
 
 def make_block(ndf):
@@ -53,16 +66,27 @@ def make_rows(ndf):
         k, shape, -256, 256, dtype=jnp.int16))(key)
 
 
+def _force_tail(out):
+    """Force completion via a tiny fetch (execution is in-order, so the
+    last output completing implies all prior ones did)."""
+    t = out
+    while t.ndim > 1:
+        t = t[0]
+    np.asarray(t[:8])
+
+
 def slope(step, block, n_small=2, n_big=8, reps=4):
-    np.asarray(step(block))
-    np.asarray(step(block))
+    _force_tail(step(block))
+    _force_tail(step(block))
 
     def run(n):
         t0 = time.perf_counter()
-        o = None
+        outs = collections.deque()
         for _ in range(n):
-            o = step(block)
-        np.asarray(o)
+            outs.append(step(block))
+            if len(outs) > 2:
+                outs.popleft()      # drop ref: bounds live HBM outputs
+        _force_tail(outs[-1])
         return time.perf_counter() - t0
 
     t1 = min(run(n_small) for _ in range(reps))
@@ -78,8 +102,6 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     ndf = 1024 if args.quick else C.NDF_BLK
-    block = make_block(ndf)
-    np.asarray(block[0, 0])
     stream_sec = ndf * C.TDF_SEC
     samples = ndf * C.NSAMP_DF * C.NCHAN * C.NPOL_SAMP
     out_dir = os.path.dirname(os.path.abspath(__file__))
@@ -94,7 +116,6 @@ def main():
 
     def fused_step(nfft, nout, stokes, layout):
         hist = {}
-        blk = rows if layout == "rows" else block
 
         def step(b):
             out, hist["h"] = pfb_spectra_fused(
@@ -102,11 +123,17 @@ def main():
                 history=hist.get("h"), return_history=True, layout=layout)
             return out
 
-        return step, blk
+        return step
 
-    # --- XLA comparison row at 1024 (the r2 frontier) FIRST: its ~13 GB
-    # of fft temporaries don't coexist with the rows block in 16 GB HBM
     pfb_rows = []
+    comp_rows = []
+
+    # ======================= WIRE pass (one block) ========================
+    block = make_block(ndf)
+    np.asarray(block[0, 0])
+
+    # XLA comparison row at 1024 (the r2 frontier) — its ~13 GB of fft
+    # temporaries own most of HBM; run it first and free everything after
     try:
         hist = {}
         xla_step = make_streaming_pfb(1024, 4, method="fft")
@@ -120,23 +147,59 @@ def main():
                             method="batched-FFT spectrometer (XLA, "
                                    "r2 path)"))
         del hist, xla_step
-    except Exception as e:  # HBM pressure varies with tunnel allocator
+    except Exception as e:
         print(f"XLA comparison row skipped: {type(e).__name__}",
               flush=True)
 
+    for nfft in (128, 256, 512, 1024):
+        dt = slope(fused_step(nfft, 1, False, "wire"), block)
+        pfb_rows.append(row(
+            dt, nfft=nfft, layout="wire",
+            method="fused Pallas Cooley-Tukey spectrometer "
+                   "(pfb_spectra_fused, streaming)"))
+    for nfft, nout, stokes in COMPOSED:
+        dt = slope(fused_step(nfft, nout, stokes, "wire"), block)
+        comp_rows.append(row(
+            dt, nfft=nfft, nout=nout, stokes=stokes, layout="wire",
+            mode="pfb" + ("+stokes" if stokes else "")
+            + (f"+waterfall[{nout}]" if nout > 1 else "")))
+    del block
+
+    # ======================= ROWS pass (one block) ========================
     rows = make_rows(ndf)
     np.asarray(rows[0, 0, 0])
 
-    # --- pure PFB across sizes x layouts (fused kernel, streaming) --------
     for nfft in (128, 256, 512, 1024):
-        for layout in ("rows", "wire"):
-            step, blk = fused_step(nfft, 1, False, layout)
-            dt = slope(step, blk)
-            pfb_rows.append(row(
-                dt, nfft=nfft, layout=layout,
-                method="fused Pallas Cooley-Tukey spectrometer "
-                       "(pfb_spectra_fused, streaming)"))
+        dt = slope(fused_step(nfft, 1, False, "rows"), rows)
+        pfb_rows.append(row(
+            dt, nfft=nfft, layout="rows",
+            method="fused Pallas Cooley-Tukey spectrometer "
+                   "(pfb_spectra_fused, streaming)"))
+    for nfft, nout, stokes in COMPOSED:
+        dt = slope(fused_step(nfft, nout, stokes, "rows"), rows)
+        comp_rows.append(row(
+            dt, nfft=nfft, nout=nout, stokes=stokes, layout="rows",
+            mode="pfb" + ("+stokes" if stokes else "")
+            + (f"+waterfall[{nout}]" if nout > 1 else "")))
 
+    # coarse-channel rows kernels (plain power / Stokes x tscrunch) — the
+    # r4 native-tile kernels
+    for nout in (1, 64):
+        dt = slope(lambda b, nout=nout:
+                   baseband2power_scrunch_rows_pallas(b, nout), rows)
+        comp_rows.append(row(
+            dt, nfft=0, nout=nout, stokes=False, layout="rows",
+            mode="power" + (f"+waterfall[{nout}]" if nout > 1 else "")
+            + " (coarse channels, rows kernel)"))
+    for nout in (1, 64, 1024):
+        dt = slope(lambda b, nout=nout:
+                   baseband2stokes_scrunch_rows_pallas(b, nout), rows)
+        comp_rows.append(row(
+            dt, nfft=0, nout=nout, stokes=True, layout="rows",
+            mode="stokes" + (f"+waterfall[{nout}]" if nout > 1 else "")
+            + " (coarse channels, rows pair-product kernel)"))
+
+    # ======================= artifacts ====================================
     with open(os.path.join(out_dir, "PFB_r04.json"), "w") as f:
         json.dump({
             "what": "PFB channelizer throughput on one TPU v5e chip, "
@@ -157,31 +220,6 @@ def main():
                           "python bench.py  # matrix mode"],
         }, f, indent=1)
 
-    # --- composed detection modes x layouts --------------------------------
-    comp_rows = []
-    for nfft, nout, stokes in ((128, 64, False), (128, 1024, False),
-                               (128, 1, True), (128, 64, True),
-                               (1024, 64, False), (256, 8, True)):
-        for layout in ("rows", "wire"):
-            step, blk = fused_step(nfft, nout, stokes, layout)
-            dt = slope(step, blk)
-            comp_rows.append(row(
-                dt, nfft=nfft, nout=nout, stokes=stokes, layout=layout,
-                mode="pfb" + ("+stokes" if stokes else "")
-                + (f"+waterfall[{nout}]" if nout > 1 else "")))
-    # coarse-channel Stokes (x tscrunch) from rows — the r4 native-tile
-    # kernel (plain Stokes from rows was 7x slower than wire in r3; the
-    # relayout-free rewrite makes rows the FASTER layout)
-    for nout in (1, 64, 1024):
-        def st_step(b, nout=nout):
-            return baseband2stokes_scrunch_rows_pallas(b, nout)
-
-        dt = slope(st_step, rows)
-        comp_rows.append(row(
-            dt, nfft=0, nout=nout, stokes=True, layout="rows",
-            mode="stokes" + (f"+waterfall[{nout}]" if nout > 1 else "")
-            + " (coarse channels, rows pair-product kernel)"))
-
     with open(os.path.join(out_dir, "COMPOSE_r04.json"), "w") as f:
         json.dump({
             "what": "Composed detection modes on one TPU v5e chip, wire "
@@ -199,26 +237,22 @@ def main():
                           "--device-layout"],
         }, f, indent=1)
 
-    # --- device-layout summary (the r3 DEVICE_LAYOUT artifact, re-measured
-    # clean with the r4 kernels) -------------------------------------------
-    def pick(rows_list, **match):
-        for r in rows_list:
+    def pick(lst, **match):
+        for r in lst:
             if all(r.get(k) == v for k, v in match.items()):
                 return r
-        return None
 
     dl = {
         "what": "Device-layout (host SIMD corner turn) capability matrix "
                 "after the r4 relayout/history fixes: rows blocks go H2D "
                 "3-D (nseries, ndf, 256), kernels consume them natively, "
-                "history carries are raw int16 row slices. Every rows "
-                "mode now beats its wire counterpart — rows is the "
-                "recommended capture layout for ALL detection modes "
-                "(r3's plain-Stokes inversion is gone: the r3 rows "
-                "Stokes kernel's 2048-lane row view forced a full device "
-                "relayout, ~40 of its 53 ms).",
+                "history carries are raw int16 row slices. Rows now "
+                "beats or matches wire in every mode — rows is the "
+                "recommended capture layout (r3's plain-Stokes inversion "
+                "is gone: the r3 rows Stokes kernel's 2048-lane row view "
+                "forced a full device relayout, ~40 of its 53 ms).",
         "measurements": {
-            "pfb_streaming": [r for r in pfb_rows if "layout" in r],
+            "pfb_streaming": pfb_rows,
             "composed": comp_rows,
         },
         "host_cost": "unchanged from r3 (HOST_r03/DEVICE_LAYOUT_r03: "

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DT_SIZE, NCHAN_CHK, NCHK_NIC, NDF_BLK
+from ..constants import DT_SIZE, NCHAN_CHK, NCHK_NIC, NDF_BLK, NPOL_SAMP
 
 LANES_PER_CHUNK = DT_SIZE // 2          # 3584 int16 lanes per chunk-frame
 _FOLD = 4                               # pol x dim lanes folded per channel
@@ -641,3 +641,81 @@ def baseband2stokes_pallas(block2d: jax.Array, mean: bool = False,
     if mean:
         stokes = stokes / (ndf * 128)
     return stokes
+
+
+def _rows_power_kernel(tpw: int, sg_n: int):
+    def kernel(x_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t % tpw == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        x = x_ref[:].astype(jnp.float32)        # (sg_n series, R, 256)
+        # output blocks stay 8 sublanes (Mosaic tiling); rows past sg_n
+        # are dead when nseries isn't 8-divisible (nchk not 4k)
+        o_ref[0:sg_n] += jnp.sum(x * x, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nout", "mean", "interpret"))
+def baseband2power_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
+                                       mean: bool = False,
+                                       interpret: bool = False
+                                       ) -> jax.Array:
+    """Power (x sub-block integration) from series-row blocks ->
+    ``(nout, nchan)`` float32 (oracle:
+    ``ops.golden.baseband2power_scrunch_golden``; squeeze ``nout=1`` for
+    the plain-power record). Input: int16 ``(nseries, ndf, 256)`` rows as
+    the capture engine's ``device_layout`` mode delivers (2-D flattening
+    accepted with the usual relayout caveat).
+
+    Same streaming structure as the wire power kernel — |x|^2 is
+    layout-independent — with tiles of 8 series x R frames consuming the
+    natural rows tiling, so device-layout captures get the same
+    HBM-bound plain-power path as wire ones.
+    """
+    if rows.ndim == 2:
+        nseries, cols = rows.shape
+        rows = rows.reshape(nseries, cols // 256, 256)
+    nseries, ndf, lanes = rows.shape
+    if lanes != 256:
+        raise ValueError(f"series rows need 256 lanes per frame, got "
+                         f"{lanes}")
+    if ndf % nout:
+        raise ValueError(f"nout={nout} must divide {ndf} frames")
+    # series per tile: nseries = nchk*14, so 8 | nseries only when
+    # 4 | nchk; fall back to the largest divisor (7 covers nchk 1, 2)
+    sg_n = next(d for d in (8, 7, 4, 2, 1) if nseries % d == 0)
+    ndf_w = ndf // nout
+    tdf = ndf_w
+    while tdf > 8 and (ndf_w % tdf or tdf * sg_n * 256 * 2 > 2 ** 21):
+        tdf //= 2
+    if ndf_w % tdf:
+        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
+                         "tile split")
+    tpw = ndf_w // tdf
+    sg = nseries // sg_n
+
+    part = pl.pallas_call(
+        _rows_power_kernel(tpw, sg_n),
+        grid=(sg, ndf // tdf),
+        in_specs=[
+            pl.BlockSpec((sg_n, tdf, 256), lambda s, t: (s, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 256), lambda s, t, tpw=tpw: (s * nout + t // tpw, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sg * nout * 8, 256), jnp.float32),
+        interpret=interpret,
+    )(rows)
+
+    g = part.reshape(sg, nout, 8, 256)[:, :, :sg_n].sum(axis=3)
+    g = g.transpose(0, 2, 1).reshape(nseries, nout)    # (series, nout)
+    power = g.reshape(nseries // NPOL_SAMP, NPOL_SAMP, nout).sum(axis=1)
+    power = power.T                                    # (nout, nchan)
+    if mean:
+        power = power / (ndf_w * 128 * NPOL_SAMP)
+    return power

@@ -290,6 +290,21 @@ class PowerPipeline:
                 return out[0] if squeeze else out
 
             return stokes_rows
+        if jax.default_backend() == "tpu":
+            # HBM-bound Pallas rows power (matches the wire kernel's
+            # streaming structure); XLA keeps CPU soaks/tests fast
+            from ..ops.pallas_power import baseband2power_scrunch_rows_pallas
+
+            if nout > 1:
+                return functools.partial(baseband2power_scrunch_rows_pallas,
+                                         nout=nout, mean=mean)
+
+            @jax.jit
+            def power1_pallas(block):
+                return baseband2power_scrunch_rows_pallas(
+                    block, 1, mean=mean)[0]
+
+            return power1_pallas
         from ..ops.power import baseband2power_scrunch_rows
 
         if nout > 1:

@@ -436,3 +436,31 @@ def test_stokes_rows_pallas_matches_golden():
             rows2d, nout, mean=True, interpret=True))
         want = baseband2stokes_scrunch_golden(block, nout, mean=True)
         assert_close(got, want, rtol=1e-4)
+
+
+def test_power_rows_pallas_matches_golden():
+    """Rows-layout Pallas power (x tscrunch): the device-layout plain
+    power path (tiles of 8 series x R frames on the natural tiling)."""
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_golden,
+        baseband2power_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.ops.pallas_power import (
+        baseband2power_scrunch_rows_pallas,
+    )
+
+    block = F.synthetic_block(rng=121, ndf=32, nchk=4)
+    rows3 = jnp.asarray(_to_rows(block))
+    got1 = np.asarray(baseband2power_scrunch_rows_pallas(
+        rows3, 1, interpret=True))
+    np.testing.assert_allclose(got1[0], baseband2power_golden(block),
+                               rtol=1e-5)
+    got4 = np.asarray(baseband2power_scrunch_rows_pallas(
+        rows3, 4, mean=True, interpret=True))
+    want4 = baseband2power_scrunch_golden(block, 4, mean=True)
+    np.testing.assert_allclose(got4, want4, rtol=1e-5)
+    # 2-D flattening accepted
+    got2d = np.asarray(baseband2power_scrunch_rows_pallas(
+        jnp.asarray(_to_rows(block).reshape(4 * 14, -1)), 1,
+        interpret=True))
+    np.testing.assert_allclose(got2d, got1)
