@@ -20,12 +20,20 @@ kernel; the streaming ingest path is benchmarked separately).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache (works with the axon backend): repeat runs of
+# the same program shapes skip the 30-450 s remote compile server
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from paf_baseband2power_tpu import constants as C
 from paf_baseband2power_tpu.ops.pallas_power import LANES_PER_CHUNK
@@ -190,8 +198,15 @@ def bench_matrix(ndf: int, iters: int) -> dict:
                 return out
             return step
 
+        from paf_baseband2power_tpu.ops.pallas_power import (
+            baseband2power_scrunch_rows_pallas,
+        )
+
         modes = [
             ("power", baseband2power_pallas, block, None),
+            ("power rows",
+             lambda b: baseband2power_scrunch_rows_pallas(b, 1), rows,
+             None),
             ("stokes", baseband2stokes_pallas, block, None),
             ("scrunch[64]",
              lambda b: baseband2power_scrunch_pallas(b, 64), block, None),
