@@ -301,6 +301,12 @@ def make_streaming_pfb_fused(nfft: int = _L, ntap: int = 4, **kw):
 #     host corner-turn format (benchmarks/probe_karatsuba.py).
 #   * Row-tile sweep R in {128..2048} (cap x2/x4/x8): all within ~4% of
 #     the production cap, inside tunnel variance.
+#   * Radix-2 DIF FFT for stage A (O(n1 log n1) butterflies vs the
+#     direct n1^2-term sum, bit-reversal absorbed into the k1->operator
+#     mapping): measured perf-neutral at nfft 256/512/1024 (18.1/19.6/
+#     23.1 ms vs direct 18.7/18.5/23.1) — stage A's VPU work is not the
+#     binding resource of the nfft>128 delta either; reverted to the
+#     simpler direct form.
 #   * Dropping the bf16x3 third dot: zlo@fh carries ~2^-9 of z — cutting
 #     it reverts to the measured-too-lossy 8e-4 DEFAULT error class.
 # The ~2.5 ms over the MXU floor at nfft=128 is the VPU/convert/FIR
