@@ -181,10 +181,12 @@ def bench_matrix(ndf: int, iters: int) -> dict:
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         # matrix rows are Pallas kernels; off-TPU fall back to the XLA
-        # direct path only (smoke mode for CI)
-        step, _ = get_step("auto")
+        # direct path only (smoke mode — get_step('auto') would hand back
+        # the Pallas kernel, which raises on a CPU backend)
+        from paf_baseband2power_tpu.ops.power import baseband2power_2d
+
         block = make_block_2d(ndf)
-        modes = [("power xla", step, block, None)]
+        modes = [("power xla", baseband2power_2d, block, None)]
     else:
         block = make_block_2d(ndf)
         rows = make_block_rows(ndf)
@@ -248,7 +250,7 @@ def bench_matrix(ndf: int, iters: int) -> dict:
             headline = row
     return {
         "metric": "baseband samples/s/chip (unpack+detect+integrate, "
-                  "pallas)",
+                  + ("pallas)" if on_tpu else "xla cpu-fallback)"),
         "value": headline["samples_per_sec"],
         "unit": "samples/s",
         "vs_baseline": headline["samples_per_sec"] / BASELINE_SAMPLES_PER_SEC,

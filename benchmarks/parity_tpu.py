@@ -79,6 +79,7 @@ def run_sweep(ndf: int, nchk: int, out_path: str,
     from paf_baseband2power_tpu.ops.pallas_power import (
         baseband2power_pallas,
         baseband2power_scrunch_pallas,
+        baseband2power_scrunch_rows_pallas,
         baseband2stokes_pallas,
         baseband2stokes_scrunch_pallas,
         baseband2stokes_scrunch_rows_pallas,
@@ -152,6 +153,12 @@ def run_sweep(ndf: int, nchk: int, out_path: str,
     case("stokes x scrunch[64] rows", BOUND_DIRECT,
          lambda: baseband2stokes_scrunch_rows_pallas(r1, 64),
          baseband2stokes_scrunch_golden(b1, 64))
+    case("power rows (nout=1)", BOUND_DIRECT,
+         lambda: baseband2power_scrunch_rows_pallas(r1, 1)[0],
+         baseband2power_golden(b1))
+    case("power x scrunch[64] rows", BOUND_DIRECT,
+         lambda: baseband2power_scrunch_rows_pallas(r1, 64),
+         baseband2power_scrunch_golden(b1, 64))
 
     # ---- dedicated nfft=128 fused PFB (single-operator kernel) -----------
     g128 = pfb.pfb_spectra_golden(both, 128, 4, nout=2)

@@ -219,13 +219,12 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     expected_blocks = total_frames // args.ndf
     report = {
         "backend": jax.default_backend(),
-        "mode": ("power" if not (args.pfb or args.stokes
-                                 or args.nspectra > 1)
-                 else (f"pfb{args.pfb}" if args.pfb else "")
-                 + ("+stokes" if args.stokes else "")
-                 + (f"+waterfall[{args.nspectra}]"
-                    if args.nspectra > 1 else ""))
-                + ("  [device-layout rows]" if args.device_layout else ""),
+        "mode": "+".join(
+            ([f"pfb{args.pfb}"] if args.pfb else [])
+            + (["stokes"] if args.stokes else [])
+            + ([f"waterfall[{args.nspectra}]"] if args.nspectra > 1 else [])
+            or ["power"])
+            + ("  [device-layout rows]" if args.device_layout else ""),
         "seconds": args.seconds,
         "rate_x_realtime": args.rate,
         "sender": args.sender,

@@ -391,12 +391,7 @@ def baseband2stokes_scrunch_pallas(block2d: jax.Array, nout: int,
     # time tile: a power-of-two slice of one window, <= 512 KB of int16
     # per chunk-wide tile (the four product banks live as (tdf, 3584) f32
     # temporaries against the 16 MB scoped-vmem budget)
-    tdf = ndf_w
-    while tdf > 8 and (ndf_w % tdf or tdf * LANES_PER_CHUNK * 2 > 2 ** 19):
-        tdf //= 2
-    if ndf_w % tdf:
-        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
-                         "tile split")
+    tdf = _pow2_tile(ndf_w, LANES_PER_CHUNK * 2)
     tpw = ndf_w // tdf
 
     part = pl.pallas_call(
@@ -427,6 +422,43 @@ def baseband2stokes_scrunch_pallas(block2d: jax.Array, nout: int,
     if mean:
         stokes = stokes / (ndf_w * 128)
     return stokes
+
+
+def _as_rows3d(rows: jax.Array) -> jax.Array:
+    """Normalize a series-row block to 3-D ``(nseries, ndf, 256)``.
+
+    The 2-D flattening is accepted for compatibility but costs a full
+    tiled-relayout copy on device (see ``pfb_spectra_fused``'s layout
+    note); misaligned inputs get the informative wrong-layout error
+    instead of an opaque reshape failure.
+    """
+    if rows.ndim == 2:
+        nseries, cols = rows.shape
+        if cols % 256:
+            raise ValueError(
+                f"series rows need 256-lane frame segments, got {cols} "
+                "columns — is this a wire-order block passed as rows?")
+        rows = rows.reshape(nseries, cols // 256, 256)
+    if rows.shape[-1] != 256:
+        raise ValueError(f"series rows need 256 lanes per frame, got "
+                         f"{rows.shape[-1]}")
+    return rows
+
+
+def _pow2_tile(ndf_w: int, unit_bytes: int, budget: int = 2 ** 19) -> int:
+    """Largest power-of-two frame tile dividing ``ndf_w`` within the VMEM
+    budget (``unit_bytes`` per frame row). Power-of-two is load-bearing:
+    a non-power-of-two whole-window tile (e.g. 24 or 550 sublanes) is
+    exactly the shape class interpret mode accepts and the real Mosaic
+    lowering rejects (the r3 finding this round's parity sweep exists
+    for)."""
+    tdf = 1 << (max(ndf_w, 1).bit_length() - 1)
+    while tdf > 8 and (ndf_w % tdf or tdf * unit_bytes > budget):
+        tdf //= 2
+    if ndf_w % tdf:
+        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
+                         "tile split")
+    return tdf
 
 
 def _make_stokes_rows_kernel(tpw: int, wpb: int):
@@ -494,13 +526,8 @@ def baseband2stokes_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
     staying 2-D) — with the native-view tiles the kernel streams at the
     input layout and the relayout disappears.
     """
-    if rows.ndim == 2:
-        nseries, cols = rows.shape
-        rows = rows.reshape(nseries, cols // 256, 256)
-    nseries, ndf, lanes = rows.shape
-    if lanes != 256:
-        raise ValueError(f"series rows need 256 lanes per frame, got "
-                         f"{lanes}")
+    rows = _as_rows3d(rows)
+    nseries, ndf, _lanes = rows.shape
     npair = nseries // 2
     if ndf % nout:
         raise ValueError(f"nout={nout} must divide {ndf} frames")
@@ -509,12 +536,7 @@ def baseband2stokes_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
     # time tile: power-of-two frame rows, <= 256 KB int16 per pol slab
     # (f32 temporaries x/y/swap/products are (R, 256)-sized against the
     # 16 MB scoped-vmem budget)
-    tdf = ndf_w
-    while tdf > 8 and (ndf_w % tdf or tdf * 256 * 2 * 2 > 2 ** 19):
-        tdf //= 2
-    if ndf_w % tdf:
-        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
-                         "tile split")
+    tdf = _pow2_tile(ndf_w, 256 * 2 * 2)
     tpw = ndf_w // tdf
 
     rows4 = rows.reshape(npair, 2, ndf, 256)    # leading split: no relayout
@@ -676,25 +698,15 @@ def baseband2power_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
     natural rows tiling, so device-layout captures get the same
     HBM-bound plain-power path as wire ones.
     """
-    if rows.ndim == 2:
-        nseries, cols = rows.shape
-        rows = rows.reshape(nseries, cols // 256, 256)
-    nseries, ndf, lanes = rows.shape
-    if lanes != 256:
-        raise ValueError(f"series rows need 256 lanes per frame, got "
-                         f"{lanes}")
+    rows = _as_rows3d(rows)
+    nseries, ndf, _lanes = rows.shape
     if ndf % nout:
         raise ValueError(f"nout={nout} must divide {ndf} frames")
     # series per tile: nseries = nchk*14, so 8 | nseries only when
     # 4 | nchk; fall back to the largest divisor (7 covers nchk 1, 2)
     sg_n = next(d for d in (8, 7, 4, 2, 1) if nseries % d == 0)
     ndf_w = ndf // nout
-    tdf = ndf_w
-    while tdf > 8 and (ndf_w % tdf or tdf * sg_n * 256 * 2 > 2 ** 21):
-        tdf //= 2
-    if ndf_w % tdf:
-        raise ValueError(f"window of {ndf_w} frames has no power-of-two "
-                         "tile split")
+    tdf = _pow2_tile(ndf_w, sg_n * 256 * 2, budget=2 ** 21)
     tpw = ndf_w // tdf
     sg = nseries // sg_n
 

@@ -57,5 +57,6 @@ def test_recorded_parity_artifact_is_clean():
     bad = [c["mode"] for c in report["cases"] if not c.get("ok")]
     assert report.get("ok") and not bad, bad
     # the full cross must be present: 4 nfft x 2 nout x 2 stokes x
-    # 2 layouts x 2 streaming + direct family + pfb_power_fused
-    assert len(report["cases"]) >= 64 + 9
+    # 2 layouts x 2 streaming + direct family (incl. rows power/Stokes)
+    # + pfb_power_fused
+    assert len(report["cases"]) >= 64 + 11
