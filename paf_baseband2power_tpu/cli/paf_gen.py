@@ -25,6 +25,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scale", type=float, default=64.0)
     ap.add_argument("--utc-start", default="2026-01-01-00:00:00")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="record in the series-row device layout (ORDER "
+                    "SERIES header) — what `capture --device-layout` "
+                    "rings hold; replays feed the rows kernels with zero "
+                    "on-device corner turn")
     args = ap.parse_args(argv)
 
     from ..io.dada import DadaFileWriter, baseband_header
@@ -33,14 +38,22 @@ def main(argv=None) -> int:
     hdr = baseband_header(
         utc_start=args.utc_start, picoseconds=0, freq=1340.5,
         nchan=args.nchk * C.NCHAN_CHK,
+        extra={"ORDER": "SERIES"} if args.device_layout else None,
     )
     with DadaFileWriter(args.output, hdr) as w:
         for i in range(args.nblocks):
             block = synthetic_block(rng=args.seed + i, ndf=args.ndf,
                                     nchk=args.nchk, scale=args.scale)
+            if args.device_layout:
+                # the capture engine's corner turn: (chk, chan, pol)
+                # series rows of interleaved re/im frame segments
+                block = block.transpose(1, 3, 4, 0, 2, 5).reshape(
+                    args.nchk * C.NCHAN_CHK * C.NPOL_SAMP, -1)
             w.write(np.ascontiguousarray(block))
     print(f"wrote {args.nblocks} blocks "
-          f"({args.ndf}x{args.nchk} frames) to {args.output}")
+          f"({args.ndf}x{args.nchk} frames"
+          f"{', ORDER SERIES' if args.device_layout else ''}) "
+          f"to {args.output}")
     return 0
 
 

@@ -241,3 +241,27 @@ def test_device_layout_file_replay(tmp_path):
         cli_b2p.main(["-a", "synthetic:1", "-b", str(tmp_path / "x.dada"),
                       "--ndf", str(ndf), "--nchk", str(nchk),
                       "--device-layout"])
+
+
+def test_gen_device_layout_roundtrip(tmp_path):
+    """paf_gen --device-layout writes an ORDER SERIES recording that the
+    compute CLI auto-detects and consumes through the rows kernels."""
+    bb = str(tmp_path / "rows.dada")
+    pw = str(tmp_path / "rows_pw.dada")
+    assert cli_gen.main([
+        "-o", bb, "-n", "2", "--ndf", str(NDF), "--nchk", str(NCHK),
+        "--seed", "31", "--device-layout",
+    ]) == 0
+    with DadaFileReader(bb) as r:
+        assert r.header["ORDER"] == "SERIES"
+    assert cli_b2p.main([
+        "-a", bb, "-b", pw, "--ndf", str(NDF), "--nchk", str(NCHK),
+    ]) == 0
+    with DadaFileReader(pw) as r:
+        records = list(r.blocks(NCHK * C.NCHAN_CHK * 4))
+    assert len(records) == 2
+    for i, rec in enumerate(records):
+        want = baseband2power_golden(
+            F.synthetic_block(rng=31 + i, ndf=NDF, nchk=NCHK))
+        np.testing.assert_allclose(np.frombuffer(rec, "<f4"), want,
+                                   rtol=1e-5)
