@@ -265,3 +265,33 @@ def test_gen_device_layout_roundtrip(tmp_path):
             F.synthetic_block(rng=31 + i, ndf=NDF, nchk=NCHK))
         np.testing.assert_allclose(np.frombuffer(rec, "<f4"), want,
                                    rtol=1e-5)
+
+
+def test_relayout_roundtrip(tmp_path):
+    """paf_relayout: wire -> rows -> wire is byte-identical, and the rows
+    intermediate computes golden-parity power via auto-detection."""
+    from paf_baseband2power_tpu.cli import paf_relayout as cli_rel
+
+    bb = str(tmp_path / "wire.dada")
+    assert cli_gen.main(["-o", bb, "-n", "2", "--ndf", str(NDF),
+                         "--nchk", str(NCHK), "--seed", "77"]) == 0
+    rows = str(tmp_path / "rows.dada")
+    back = str(tmp_path / "back.dada")
+    assert cli_rel.main(["-a", bb, "-b", rows, "--ndf", str(NDF),
+                         "--nchk", str(NCHK)]) == 0
+    with DadaFileReader(rows) as r:
+        assert r.header["ORDER"] == "SERIES"
+    assert cli_rel.main(["-a", rows, "-b", back, "--ndf", str(NDF),
+                         "--nchk", str(NCHK)]) == 0
+    raw_a = open(bb, "rb").read()[C.DADA_HDR_SIZE:]
+    raw_b = open(back, "rb").read()[C.DADA_HDR_SIZE:]
+    assert raw_a == raw_b
+    # the rows intermediate is a valid device-layout recording
+    pw = str(tmp_path / "pw.dada")
+    assert cli_b2p.main(["-a", rows, "-b", pw, "--ndf", str(NDF),
+                         "--nchk", str(NCHK)]) == 0
+    with DadaFileReader(pw) as r:
+        rec = next(iter(r.blocks(NCHK * C.NCHAN_CHK * 4)))
+    want = baseband2power_golden(
+        F.synthetic_block(rng=77, ndf=NDF, nchk=NCHK))
+    np.testing.assert_allclose(np.frombuffer(rec, "<f4"), want, rtol=1e-5)
