@@ -525,3 +525,64 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
         return jax.vmap(one)(blocks)
 
     return jax.jit(step)
+
+
+def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
+                             window: str = "hamming", nout: int = 1,
+                             stokes: bool = False, mean: bool = False,
+                             shift: bool = True, interpret: bool = False):
+    """Beam-parallel detection on device-layout (series-row) blocks.
+
+    The rows layout makes beam data-parallelism trivial: a beam-stacked
+    rows block ``(nbeam, nseries, ndf, 256) int16`` is, per beam, exactly
+    what a ``capture --device-layout`` ring holds, and every rows kernel
+    is series-major — so each beam shard runs the production fused
+    kernels locally with ZERO collectives (the reference's actual
+    scale-out model: one independent pipeline per beam/node,
+    ``paf_capture.c:114-118``). Any composition: ``nfft`` > 0 for the
+    fused fine-channel spectrometer (one-shot per block), else the rows
+    power / Stokes (x tscrunch) kernels.
+
+    Output (sharded ``P(beam)``): ``(nbeam, nout, [4,] nchan*max(nfft,1))``
+    float32. ``interpret`` runs the Pallas kernels in interpret mode
+    (CPU-mesh tests; on TPU leave False).
+    """
+    from ..ops.pallas_pfb import pfb_spectra_fused
+    from ..ops.pallas_power import (
+        baseband2power_scrunch_rows_pallas,
+        baseband2stokes_scrunch_rows_pallas,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(BEAM_AXIS),
+        out_specs=P(BEAM_AXIS),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    def step(blocks):
+        nbeam_l, nseries, ndf, lanes = blocks.shape
+        # beams concatenate on the series axis: the kernels see one
+        # wider rows block (nchk' = nbeam_l * nchk) — no vmap over
+        # pallas_call needed, grids simply scale
+        stacked = blocks.reshape(nbeam_l * nseries, ndf, lanes)
+        if nfft:
+            out = pfb_spectra_fused(
+                stacked, nfft, ntap, window=window, nout=nout,
+                stokes=stokes, mean=mean, shift=shift, layout="rows",
+                interpret=interpret)
+            # (nout, [4,] nbeam_l*nchan*nfft) -> beam-major leading axis
+            lead = out.shape[:-1]
+            out = out.reshape(lead + (nbeam_l, nseries // 2 * nfft))
+            return jnp.moveaxis(out, -2, 0)
+        if stokes:
+            out = baseband2stokes_scrunch_rows_pallas(
+                stacked, nout, mean=mean, interpret=interpret)
+        else:
+            out = baseband2power_scrunch_rows_pallas(
+                stacked, nout, mean=mean, interpret=interpret)
+        lead = out.shape[:-1]
+        out = out.reshape(lead + (nbeam_l, nseries // 2))
+        return jnp.moveaxis(out, -2, 0)
+
+    return jax.jit(step)

@@ -295,3 +295,61 @@ def test_sharded_stokes_scrunch_parity():
                                atol=1e-5 * np.abs(want).max())
     with pytest.raises(ValueError):
         S.make_sharded_stokes_scrunch_step(mesh, nout=6)  # 4 !| 6
+
+
+def test_multibeam_rows_steps_parity():
+    """Beam-parallel device-layout steps: beam-stacked rows blocks run
+    the production rows kernels per beam shard with zero collectives."""
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+
+    nbeam, ndf, nchk = 2, 32, 2
+    blocks = np.stack([
+        F.synthetic_block(rng=80 + b, ndf=ndf, nchk=nchk)
+        for b in range(nbeam)
+    ])
+    rows = np.stack([
+        np.ascontiguousarray(
+            b.transpose(1, 3, 4, 0, 2, 5).reshape(nchk * 14, ndf, 256))
+        for b in blocks
+    ])
+    mesh = M.make_beam_mesh(n_beam=2,
+                            devices=jax.devices()[:2])
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(M.BEAM_AXIS))
+    x = jax.device_put(jnp.asarray(rows), spec)
+
+    # power (x tscrunch)
+    step = S.make_multibeam_rows_step(mesh, nout=4, interpret=True)
+    out = np.asarray(step(x))
+    assert out.shape == (nbeam, 4, nchk * C.NCHAN_CHK)
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_scrunch_golden,
+    )
+    for b in range(nbeam):
+        np.testing.assert_allclose(
+            out[b], baseband2power_scrunch_golden(blocks[b], 4), rtol=1e-5)
+
+    # Stokes
+    sstep = S.make_multibeam_rows_step(mesh, nout=2, stokes=True,
+                                       interpret=True)
+    sout = np.asarray(sstep(x))
+    assert sout.shape == (nbeam, 2, 4, nchk * C.NCHAN_CHK)
+    for b in range(nbeam):
+        want = baseband2stokes_scrunch_golden(blocks[b], 2)
+        np.testing.assert_allclose(sout[b], want,
+                                   rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+
+    # fused fine channels (interpret)
+    pstep = S.make_multibeam_rows_step(mesh, nfft=128, nout=2, stokes=True,
+                                       interpret=True)
+    pout = np.asarray(pstep(x))
+    assert pout.shape == (nbeam, 2, 4, nchk * C.NCHAN_CHK * 128)
+    for b in range(nbeam):
+        want = _pfb.pfb_spectra_golden(blocks[b], 128, 4, nout=2,
+                                       stokes=True)
+        np.testing.assert_allclose(pout[b], want, rtol=2e-4,
+                                   atol=1e-5 * np.abs(want).max())
