@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     ap.add_argument("--nspectra", type=int, default=1,
                     help="sub-block integration: N spectra per block "
                     "(composes with --pfb/--stokes)")
+    ap.add_argument("--device-layout", action="store_true",
+                    help="feed series-row (ORDER SERIES) blocks; beams "
+                    "run data-parallel through the production rows "
+                    "kernels with zero collectives")
     ap.add_argument("--fetch-every", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats-json", action="store_true")
@@ -57,7 +61,8 @@ def main(argv=None) -> int:
                              nchk=args.nchk, mean=args.mean,
                              log_dir=args.dir, pfb_nfft=args.pfb,
                              pfb_ntap=args.ntap, stokes=args.stokes,
-                             nout=args.nspectra)
+                             nout=args.nspectra,
+                             device_layout=args.device_layout)
 
     if args.input.startswith("synthetic"):
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4
@@ -66,11 +71,17 @@ def main(argv=None) -> int:
         from ..io.ringbuffer import RingSource
 
         key = args.input.split(":", 1)[1]
-        nbeam_l, ndf_l, lanes = runner.local_shape
-        if nbeam_l != 1:
+        if runner.local_shape[0] != 1:
             raise SystemExit("ring feeder supports one local beam per host")
-        ring = RingSource(key, ndf=ndf_l, nchk=args.nchk)
-        source = (blk.reshape(1, ndf_l, -1) for blk in ring)
+        if args.device_layout:
+            nbeam_l, nseries, ndf_l, seg = runner.local_shape
+            ring = RingSource(key, ndf=ndf_l, nchk=args.nchk,
+                              layout="rows")
+            source = (blk.reshape(1, nseries, ndf_l, seg) for blk in ring)
+        else:
+            nbeam_l, ndf_l, lanes = runner.local_shape
+            ring = RingSource(key, ndf=ndf_l, nchk=args.nchk)
+            source = (blk.reshape(1, ndf_l, -1) for blk in ring)
     else:
         raise SystemExit(f"unknown input '{args.input}'")
 

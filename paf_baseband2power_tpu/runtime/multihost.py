@@ -51,13 +51,40 @@ class MultihostRunner:
                  nchk: int = C.NCHK_NIC, n_beam_mesh: int | None = None,
                  mean: bool = False, log_dir: str | None = None,
                  pfb_nfft: int = 0, pfb_ntap: int = 4,
-                 stokes: bool = False, nout: int = 1):
+                 stokes: bool = False, nout: int = 1,
+                 device_layout: bool = False):
         init_distributed()
         self.nbeam_total = nbeam_total
         self.ndf, self.nchk = ndf, nchk
+        self.device_layout = device_layout
         n_beam_mesh = n_beam_mesh or min(nbeam_total, jax.device_count())
         self.mesh = global_mesh(n_beam=n_beam_mesh)
         self.slice = process_block_slice(self.mesh, nbeam_total, ndf)
+        if device_layout:
+            # rows beam-DP: each host feeds whole-frame series-row blocks
+            # for its beams; the production rows kernels run per beam
+            # shard with zero collectives (parallel/sharded.py:
+            # make_multibeam_rows_step). Time/chunk mesh axes replicate
+            # (pure data parallelism — beams >= devices in deployments).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharded import make_multibeam_rows_step
+
+            (b0, b1), _ = self.slice
+            self.slice = ((b0, b1), (0, ndf))    # frames never split
+            self.step = make_multibeam_rows_step(
+                self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, nout=nout,
+                stokes=stokes, mean=mean,
+                interpret=jax.default_backend() != "tpu")
+            self.sharding = NamedSharding(self.mesh, P(BEAM_AXIS))
+            self.out_sharding = NamedSharding(self.mesh, P(BEAM_AXIS))
+            self.log = open_log(
+                f"multihost_p{jax.process_index()}", log_dir)
+            self.log.info(
+                "multihost rows: proc %d/%d, mesh %s, beams=%s",
+                jax.process_index(), jax.process_count(),
+                dict(self.mesh.shape), self.slice[0])
+            return
         if stokes or nout > 1:
             # composed detection across hosts (PFB x Stokes x tscrunch)
             from ..parallel.sharded import make_multibeam_composed_step_2d
@@ -89,8 +116,11 @@ class MultihostRunner:
             dict(self.mesh.shape), self.slice[0], self.slice[1])
 
     @property
-    def local_shape(self) -> tuple[int, int, int]:
+    def local_shape(self) -> tuple[int, ...]:
         (b0, b1), (f0, f1) = self.slice
+        if self.device_layout:
+            return (b1 - b0, self.nchk * C.NCHAN_CHK * C.NPOL_SAMP,
+                    f1 - f0, 2 * C.NSAMP_DF)
         return (b1 - b0, f1 - f0, self.nchk * C.DT_SIZE // 2)
 
     def assemble(self, local_block: np.ndarray) -> jax.Array:
@@ -100,8 +130,9 @@ class MultihostRunner:
             raise ValueError(
                 f"local block {local_block.shape} != owned slice "
                 f"{self.local_shape}")
-        global_shape = (self.nbeam_total, self.ndf,
-                        self.nchk * C.DT_SIZE // 2)
+        global_shape = (self.nbeam_total,) + self.local_shape[1:] \
+            if self.device_layout else (self.nbeam_total, self.ndf,
+                                        self.nchk * C.DT_SIZE // 2)
         return jax.make_array_from_process_local_data(
             self.sharding, np.ascontiguousarray(local_block), global_shape)
 
@@ -163,7 +194,9 @@ def synthetic_local_source(runner: MultihostRunner, nblocks: int,
 
     Every host generates the same global blocks (seeded per beam+block)
     and keeps only its owned slice — so N-process output is bit-comparable
-    to a single-process golden run over the same seeds.
+    to a single-process golden run over the same seeds. With a
+    ``device_layout`` runner the slices are series-row blocks (whole
+    frames; hosts own beams only).
     """
     from ..ops.frame import synthetic_block
 
@@ -173,5 +206,11 @@ def synthetic_local_source(runner: MultihostRunner, nblocks: int,
         for b in range(b0, b1):
             blk = synthetic_block(rng=seed + 1000 * b + i, ndf=runner.ndf,
                                   nchk=runner.nchk)
-            beams.append(blk.reshape(runner.ndf, -1)[f0:f1])
+            if runner.device_layout:
+                beams.append(np.ascontiguousarray(
+                    blk.transpose(1, 3, 4, 0, 2, 5).reshape(
+                        runner.nchk * C.NCHAN_CHK * C.NPOL_SAMP,
+                        runner.ndf, 2 * C.NSAMP_DF)))
+            else:
+                beams.append(blk.reshape(runner.ndf, -1)[f0:f1])
         yield np.stack(beams)

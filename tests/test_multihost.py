@@ -249,3 +249,46 @@ def test_two_process_stokes_scrunch(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5,
                                    atol=1e-5 * np.abs(want).max(),
                                    err_msg=f"block {i}")
+
+
+def test_single_process_runner_device_layout():
+    """Rows beam-DP runner: series-row slices through the production rows
+    kernels (interpret mode on the CPU mesh), golden parity per beam."""
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2stokes_scrunch_golden,
+    )
+    from paf_baseband2power_tpu.runtime.multihost import (
+        MultihostRunner, synthetic_local_source)
+    from paf_baseband2power_tpu.runtime.pipeline import MemorySink
+
+    runner = MultihostRunner(nbeam_total=2, ndf=32, nchk=2,
+                             stokes=True, nout=2, device_layout=True)
+    assert runner.local_shape == (2, 2 * 14, 32, 256)
+    sink = MemorySink()
+    stats = runner.run(synthetic_local_source(runner, 2), sink)
+    assert stats.nblocks == 2
+    assert len(sink.records) == 4            # 2 blocks x 2 beams
+    for i in range(2):
+        for b in range(2):
+            want = baseband2stokes_scrunch_golden(
+                synthetic_block(rng=1000 * b + i, ndf=32, nchk=2), 2)
+            got = sink.records[2 * i + b]
+            np.testing.assert_allclose(
+                got, want, rtol=1e-4, atol=1e-5 * np.abs(want).max(),
+                err_msg=f"block {i} beam {b}")
+
+
+def test_two_process_device_layout(tmp_path):
+    """2-process rows beam-DP: each host feeds its beam's series-row
+    slice; per-beam records match the golden model."""
+    out = str(tmp_path / "rows_power.dada")
+    _run_two_procs(["-a", "synthetic:2", "-b", out, "--nbeam", "2",
+                    "--ndf", str(NDF), "--nchk", str(NCHK),
+                    "--device-layout"], tmp_path)
+    recs = _read_power(out, NCHAN)
+    assert len(recs) == 4
+    for i in range(2):
+        for b in range(2):
+            np.testing.assert_allclose(
+                recs[2 * i + b], _golden(b, i), rtol=1e-5,
+                err_msg=f"block {i} beam {b}")
