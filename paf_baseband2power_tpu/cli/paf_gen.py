@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from ..io.dada import DadaFileWriter, baseband_header
-    from ..ops.frame import synthetic_block
+    from ..ops.frame import block_to_rows, synthetic_block
 
     hdr = baseband_header(
         utc_start=args.utc_start, picoseconds=0, freq=1340.5,
@@ -45,10 +45,7 @@ def main(argv=None) -> int:
             block = synthetic_block(rng=args.seed + i, ndf=args.ndf,
                                     nchk=args.nchk, scale=args.scale)
             if args.device_layout:
-                # the capture engine's corner turn: (chk, chan, pol)
-                # series rows of interleaved re/im frame segments
-                block = block.transpose(1, 3, 4, 0, 2, 5).reshape(
-                    args.nchk * C.NCHAN_CHK * C.NPOL_SAMP, -1)
+                block = block_to_rows(block)
             w.write(np.ascontiguousarray(block))
     print(f"wrote {args.nblocks} blocks "
           f"({args.ndf}x{args.nchk} frames"

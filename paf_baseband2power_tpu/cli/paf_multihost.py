@@ -82,6 +82,16 @@ def main(argv=None) -> int:
             nbeam_l, ndf_l, lanes = runner.local_shape
             ring = RingSource(key, ndf=ndf_l, nchk=args.nchk)
             source = (blk.reshape(1, ndf_l, -1) for blk in ring)
+        # layout mismatch = silently transposed garbage; the runner's
+        # step is already built for args.device_layout, so unlike
+        # paf_baseband2power (which auto-adopts the header) this must
+        # reject the contradiction outright
+        ring_order = (ring.header or {}).get("ORDER")
+        if args.device_layout != (ring_order == "SERIES"):
+            raise SystemExit(
+                f"ring '{key}' holds ORDER={ring_order or 'TF'} blocks "
+                f"but --device-layout={'on' if args.device_layout else 'off'}"
+                " — pass the flag matching the capture layout")
     else:
         raise SystemExit(f"unknown input '{args.input}'")
 

@@ -163,3 +163,24 @@ def bytes_to_block(buf, ndf: int = NDF_BLK, nchk: int = NCHK_NIC) -> np.ndarray:
     """View ring-buffer bytes as the canonical block array (zero copy)."""
     shape = (ndf, nchk, NSAMP_DF, NCHAN_CHK, NPOL_SAMP, NDIM_POL)
     return np.frombuffer(buf, dtype=PAYLOAD_DTYPE).reshape(shape)
+
+
+def block_to_rows(block: np.ndarray) -> np.ndarray:
+    """Canonical 6-D block -> series rows ``(nseries, ndf, 256) int16``.
+
+    The host corner turn of ``capture --device-layout`` (AVX2 in the
+    native engine; this is the numpy reference): one row per
+    (chunk, channel, pol) series, 256-lane frame segments with re/im
+    interleaved on lanes. Single source of truth for every producer of
+    the rows layout (paf_gen, paf_relayout, multihost feeders, tests).
+    """
+    ndf, nchk = block.shape[0], block.shape[1]
+    return np.ascontiguousarray(
+        block.transpose(1, 3, 4, 0, 2, 5).reshape(
+            nchk * NCHAN_CHK * NPOL_SAMP, ndf, 2 * NSAMP_DF))
+
+
+def rows_to_block(rows: np.ndarray, ndf: int, nchk: int) -> np.ndarray:
+    """Inverse of :func:`block_to_rows` (series rows -> canonical 6-D)."""
+    r6 = rows.reshape(nchk, NCHAN_CHK, NPOL_SAMP, ndf, NSAMP_DF, 2)
+    return np.ascontiguousarray(r6.transpose(3, 0, 4, 1, 2, 5))

@@ -562,9 +562,14 @@ def baseband2stokes_scrunch_rows_pallas(rows: jax.Array, nout: int = 1,
     ndf_w = ndf // nout
 
     # small windows: whole windows per tile (pure store) — see the packed
-    # kernel's note; wpt even keeps output blocks 8-sublane aligned
+    # kernel's note; wpt even keeps output blocks 8-sublane aligned, and
+    # the power-of-two ndf_w requirement keeps the input tile in the
+    # shape class the real Mosaic lowering accepts (same rationale as
+    # _pow2_tile — odd tiles pass interpret mode and fail on chip);
+    # other window sizes take the general accumulating path below
+    pow2_w = ndf_w & (ndf_w - 1) == 0
     wpt = next((w for w in (8, 4, 2)
-                if nout % w == 0 and w * ndf_w <= 256), 0)
+                if pow2_w and nout % w == 0 and w * ndf_w <= 256), 0)
     if wpt:
         tile = wpt * ndf_w
         rows4 = rows.reshape(npair, 2, ndf, 256)

@@ -70,8 +70,19 @@ class MultihostRunner:
 
             from ..parallel.sharded import make_multibeam_rows_step
 
-            (b0, b1), _ = self.slice
+            (b0, b1), (f0, f1) = self.slice
+            if (f0, f1) != (0, ndf):
+                # this process's devices cover only part of the time axis:
+                # with P(beam) replication every host would feed its own
+                # data as a "replica" of the same shard — silently
+                # nondeterministic. Hosts must own whole beams.
+                raise ValueError(
+                    "device_layout needs host boundaries on the beam axis "
+                    f"only (this process owns frame range {(f0, f1)} of "
+                    f"{ndf}); use nbeam_total >= process count or a "
+                    "beam-only mesh")
             self.slice = ((b0, b1), (0, ndf))    # frames never split
+            waste = self.mesh.shape[TIME_AXIS] * self.mesh.shape[CHUNK_AXIS]
             self.step = make_multibeam_rows_step(
                 self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, nout=nout,
                 stokes=stokes, mean=mean,
@@ -84,6 +95,13 @@ class MultihostRunner:
                 "multihost rows: proc %d/%d, mesh %s, beams=%s",
                 jax.process_index(), jax.process_count(),
                 dict(self.mesh.shape), self.slice[0])
+            if waste > 1:
+                self.log.warning(
+                    "device_layout is beam-data-parallel only: the mesh's "
+                    "time*chunk extent (%d) replicates every block and "
+                    "its compute %d-fold — use nbeam >= device count (or "
+                    "the wire layout) to use those devices",
+                    waste, waste)
             return
         if stokes or nout > 1:
             # composed detection across hosts (PFB x Stokes x tscrunch)
@@ -198,7 +216,7 @@ def synthetic_local_source(runner: MultihostRunner, nblocks: int,
     ``device_layout`` runner the slices are series-row blocks (whole
     frames; hosts own beams only).
     """
-    from ..ops.frame import synthetic_block
+    from ..ops.frame import block_to_rows, synthetic_block
 
     (b0, b1), (f0, f1) = runner.slice
     for i in range(nblocks):
@@ -207,10 +225,7 @@ def synthetic_local_source(runner: MultihostRunner, nblocks: int,
             blk = synthetic_block(rng=seed + 1000 * b + i, ndf=runner.ndf,
                                   nchk=runner.nchk)
             if runner.device_layout:
-                beams.append(np.ascontiguousarray(
-                    blk.transpose(1, 3, 4, 0, 2, 5).reshape(
-                        runner.nchk * C.NCHAN_CHK * C.NPOL_SAMP,
-                        runner.ndf, 2 * C.NSAMP_DF)))
+                beams.append(block_to_rows(blk))
             else:
                 beams.append(blk.reshape(runner.ndf, -1)[f0:f1])
         yield np.stack(beams)
