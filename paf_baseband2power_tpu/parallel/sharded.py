@@ -586,3 +586,60 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         return jnp.moveaxis(out, -2, 0)
 
     return jax.jit(step)
+
+
+def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
+                           window: str = "hamming", nout: int = 1,
+                           stokes: bool = False, mean: bool = False,
+                           shift: bool = True, interpret: bool = False):
+    """Single-beam multi-device detection on a device-layout block:
+    the series axis is the natural tensor-parallel axis of the rows
+    form — every kernel (power, Stokes, the fused fine-channel
+    spectrometer) is series-independent, so sharding
+    ``(nseries, ndf, 256)`` over ``chunk`` needs ZERO collectives and
+    the output channels simply follow their series shard.
+
+    Requires ``n_chunk | nchk`` (shards own whole frequency chunks, so
+    polarization pairs and the channel-grouping epilogue never straddle
+    shards). Output sharded ``P([...,] chunk)`` on the channel axis:
+    ``(nout, [4,] nchan*max(nfft,1))``.
+    """
+    from ..constants import NCHAN_CHK, NPOL_SAMP
+    from ..ops.pallas_pfb import pfb_spectra_fused
+    from ..ops.pallas_power import (
+        baseband2power_scrunch_rows_pallas,
+        baseband2stokes_scrunch_rows_pallas,
+    )
+
+    n_chunk = mesh.shape[CHUNK_AXIS]
+    out_spec = (P(None, None, CHUNK_AXIS) if stokes
+                else P(None, CHUNK_AXIS))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(CHUNK_AXIS),
+        out_specs=out_spec,
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    def step(rows):
+        nseries_l = rows.shape[0]
+        if nseries_l % (NCHAN_CHK * NPOL_SAMP):
+            raise ValueError(
+                f"series shard {nseries_l} must hold whole frequency "
+                f"chunks ({NCHAN_CHK * NPOL_SAMP} series each): use "
+                f"n_chunk dividing nchk (mesh chunk={n_chunk})")
+        if nfft:
+            out = pfb_spectra_fused(
+                rows, nfft, ntap, window=window, nout=nout, stokes=stokes,
+                mean=mean, shift=shift, layout="rows",
+                interpret=interpret)
+        elif stokes:
+            out = baseband2stokes_scrunch_rows_pallas(
+                rows, nout, mean=mean, interpret=interpret)
+        else:
+            out = baseband2power_scrunch_rows_pallas(
+                rows, nout, mean=mean, interpret=interpret)
+        return out
+
+    return jax.jit(step)

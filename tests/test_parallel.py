@@ -353,3 +353,41 @@ def test_multibeam_rows_steps_parity():
                                        stokes=True)
         np.testing.assert_allclose(pout[b], want, rtol=2e-4,
                                    atol=1e-5 * np.abs(want).max())
+
+
+def test_sharded_rows_series_parity():
+    """Series-sharded rows step: the chunk (TP) axis of the rows layout
+    is collective-free for every detection mode."""
+    from paf_baseband2power_tpu.ops import pfb as _pfb
+    from paf_baseband2power_tpu.ops.frame import block_to_rows
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_scrunch_golden,
+        baseband2stokes_golden,
+    )
+
+    ndf, nchk = 32, 4
+    block = F.synthetic_block(rng=90, ndf=ndf, nchk=nchk)
+    rows = block_to_rows(block)
+    mesh = M.make_mesh(n_time=1, n_chunk=4,
+                       devices=jax.devices()[:4])
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(M.CHUNK_AXIS))
+    x = jax.device_put(jnp.asarray(rows), spec)
+
+    step = S.make_sharded_rows_step(mesh, nout=4, interpret=True)
+    out = np.asarray(step(x))
+    np.testing.assert_allclose(
+        out, baseband2power_scrunch_golden(block, 4), rtol=1e-5)
+
+    sstep = S.make_sharded_rows_step(mesh, stokes=True, interpret=True)
+    sout = np.asarray(sstep(x))
+    want = baseband2stokes_golden(block)
+    np.testing.assert_allclose(sout[0], want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+    pstep = S.make_sharded_rows_step(mesh, nfft=128, nout=2,
+                                     interpret=True)
+    pout = np.asarray(pstep(x))
+    want = _pfb.pfb_spectra_golden(block, 128, 4, nout=2)
+    np.testing.assert_allclose(pout, want, rtol=2e-4,
+                               atol=1e-5 * np.abs(want).max())
