@@ -543,9 +543,16 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
     fused fine-channel spectrometer (one-shot per block), else the rows
     power / Stokes (x tscrunch) kernels.
 
-    Output (sharded ``P(beam)``): ``(nbeam, nout, [4,] nchan*max(nfft,1))``
-    float32. ``interpret`` runs the Pallas kernels in interpret mode
-    (CPU-mesh tests; on TPU leave False).
+    The series axis additionally shards over the ``chunk`` mesh axis
+    (``make_sharded_rows_step``'s zero-collective TP form), so meshes
+    with more devices than beams still use every chip — each shard owns
+    (its beams) x (a whole-frequency-chunk series range). Requires
+    ``n_chunk | nchk``.
+
+    Output (sharded ``P(beam, ..., chunk-on-channels)``):
+    ``(nbeam, nout, [4,] nchan*max(nfft,1))`` float32. ``interpret``
+    runs the Pallas kernels in interpret mode (CPU-mesh tests; on TPU
+    leave False).
     """
     from ..ops.pallas_pfb import pfb_spectra_fused
     from ..ops.pallas_power import (
@@ -553,17 +560,27 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         baseband2stokes_scrunch_rows_pallas,
     )
 
+    out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
+                else P(BEAM_AXIS, None, CHUNK_AXIS))
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(BEAM_AXIS),
-        out_specs=P(BEAM_AXIS),
+        in_specs=P(BEAM_AXIS, CHUNK_AXIS),
+        out_specs=out_spec,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     def step(blocks):
         nbeam_l, nseries, ndf, lanes = blocks.shape
+        from ..constants import NCHAN_CHK, NPOL_SAMP
+
+        if nseries % (NCHAN_CHK * NPOL_SAMP):
+            raise ValueError(
+                f"series shard {nseries} must hold whole frequency "
+                f"chunks ({NCHAN_CHK * NPOL_SAMP} series each): use a "
+                "chunk mesh extent dividing nchk")
         # beams concatenate on the series axis: the kernels see one
-        # wider rows block (nchk' = nbeam_l * nchk) — no vmap over
+        # wider rows block (nchk' = nbeam_l * nchk_local) — no vmap over
         # pallas_call needed, grids simply scale
         stacked = blocks.reshape(nbeam_l * nseries, ndf, lanes)
         if nfft:

@@ -58,7 +58,18 @@ class MultihostRunner:
         self.ndf, self.nchk = ndf, nchk
         self.device_layout = device_layout
         n_beam_mesh = n_beam_mesh or min(nbeam_total, jax.device_count())
-        self.mesh = global_mesh(n_beam=n_beam_mesh)
+        if device_layout:
+            # the chunk mesh axis carries the series-TP split of the rows
+            # layout — pick the largest extent that keeps whole frequency
+            # chunks per shard (local so it stays on ICI)
+            n_chunk = jax.local_device_count()
+            avail = jax.device_count() // n_beam_mesh
+            n_chunk = min(n_chunk, avail)
+            while n_chunk > 1 and (nchk % n_chunk or avail % n_chunk):
+                n_chunk -= 1
+            self.mesh = global_mesh(n_beam=n_beam_mesh, n_chunk=n_chunk)
+        else:
+            self.mesh = global_mesh(n_beam=n_beam_mesh)
         self.slice = process_block_slice(self.mesh, nbeam_total, ndf)
         if device_layout:
             # rows beam-DP: each host feeds whole-frame series-row blocks
@@ -82,12 +93,15 @@ class MultihostRunner:
                     f"{ndf}); use nbeam_total >= process count or a "
                     "beam-only mesh")
             self.slice = ((b0, b1), (0, ndf))    # frames never split
-            waste = self.mesh.shape[TIME_AXIS] * self.mesh.shape[CHUNK_AXIS]
+            waste = self.mesh.shape[TIME_AXIS]
             self.step = make_multibeam_rows_step(
                 self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, nout=nout,
                 stokes=stokes, mean=mean,
                 interpret=jax.default_backend() != "tpu")
-            self.sharding = NamedSharding(self.mesh, P(BEAM_AXIS))
+            # input shards beams x series (chunk axis = series-TP; local
+            # to a host, so the split never crosses DCN)
+            self.sharding = NamedSharding(self.mesh,
+                                          P(BEAM_AXIS, CHUNK_AXIS))
             self.out_sharding = NamedSharding(self.mesh, P(BEAM_AXIS))
             self.log = open_log(
                 f"multihost_p{jax.process_index()}", log_dir)
@@ -97,10 +111,10 @@ class MultihostRunner:
                 dict(self.mesh.shape), self.slice[0])
             if waste > 1:
                 self.log.warning(
-                    "device_layout is beam-data-parallel only: the mesh's "
-                    "time*chunk extent (%d) replicates every block and "
-                    "its compute %d-fold — use nbeam >= device count (or "
-                    "the wire layout) to use those devices",
+                    "device_layout shards beams x series only: the "
+                    "mesh's time extent (%d) replicates every block and "
+                    "its compute %d-fold — increase beams or pick nchk "
+                    "divisible by the local device count",
                     waste, waste)
             return
         if stokes or nout > 1:

@@ -391,3 +391,31 @@ def test_sharded_rows_series_parity():
     want = _pfb.pfb_spectra_golden(block, 128, 4, nout=2)
     np.testing.assert_allclose(pout, want, rtol=2e-4,
                                atol=1e-5 * np.abs(want).max())
+
+
+def test_multibeam_rows_step_with_series_tp():
+    """Beam-DP x series-TP composition: a (beam=2, chunk=2) mesh splits
+    each beam's series over whole frequency chunks, zero collectives."""
+    from paf_baseband2power_tpu.ops.frame import block_to_rows
+    from paf_baseband2power_tpu.ops.golden import (
+        baseband2power_scrunch_golden,
+    )
+
+    nbeam, ndf, nchk = 2, 32, 2
+    blocks = np.stack([
+        F.synthetic_block(rng=85 + b, ndf=ndf, nchk=nchk)
+        for b in range(nbeam)
+    ])
+    rows = np.stack([block_to_rows(b) for b in blocks])
+    mesh = M.make_beam_mesh(n_beam=2, n_chunk=2,
+                            devices=jax.devices()[:4])
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(M.BEAM_AXIS, M.CHUNK_AXIS))
+    x = jax.device_put(jnp.asarray(rows), spec)
+    step = S.make_multibeam_rows_step(mesh, nout=4, interpret=True)
+    out = np.asarray(step(x))
+    assert out.shape == (nbeam, 4, nchk * C.NCHAN_CHK)
+    for b in range(nbeam):
+        np.testing.assert_allclose(
+            out[b], baseband2power_scrunch_golden(blocks[b], 4),
+            rtol=1e-5)
