@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default=None,
                     help="output file name (default <UTC_START>.dada)")
     ap.add_argument("-W", "--overwrite", action="store_true")
+    ap.add_argument("--wait-sod", action="store_true",
+                    help="start at the marked observation boundary, "
+                    "discarding pre-SOD blocks (mid-stream attach)")
     args = ap.parse_args(argv)
 
     from ..io.dada import DadaFileWriter
@@ -29,6 +32,10 @@ def main(argv=None) -> int:
 
     with RingBuffer(args.key) as ring:
         ring.lock_read()
+        start_block = 0
+        if args.wait_sod:
+            start_block = ring.wait_sod()
+            log.info("SOD at block %d", start_block)
         header = ring.read_header()
         name = args.output or f"{header.get('UTC_START', 'stream')}.dada"
         path = os.path.join(args.dir, name)

@@ -22,7 +22,10 @@ def main(argv=None) -> int:
     ap.add_argument("-d", "--header", default=None,
                     help="header template file overriding the file's header")
     ap.add_argument("-e", "--sod", type=int, default=1,
-                    help="start-of-data flag (0 skips the stream header)")
+                    help="start-of-data flag (paf_diskdb.cu -e parity): "
+                    "1 writes the stream header and marks SOD at the "
+                    "first replayed block; 0 replays without a SOD mark "
+                    "(pre-observation / transient data)")
     ap.add_argument("--skip-blocks", type=int, default=0,
                     help="resume: skip this many ring blocks of payload "
                     "and advance OBS_OFFSET accordingly")
@@ -47,6 +50,9 @@ def main(argv=None) -> int:
             header["OBS_OFFSET"] = str(args.skip_blocks * bufsz)
         if args.sod:
             ring.write_header(header)
+            # first-class SOD mark (ipcbuf_enable_sod analogue,
+            # diskdb.cu:36-67): readers using wait_sod start exactly here
+            ring.set_sod()
         n = 0
         for raw in reader.blocks(bufsz):
             view = ring.open_block_write()

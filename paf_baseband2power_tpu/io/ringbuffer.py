@@ -70,6 +70,9 @@ def load_library() -> ctypes.CDLL:
             "pafb2p_rb_open_block_write": (p_u8, [ctypes.c_void_p, u64]),
             "pafb2p_rb_close_block_write": (i32, [ctypes.c_void_p, u64]),
             "pafb2p_rb_set_eod": (i32, [ctypes.c_void_p]),
+            "pafb2p_rb_set_sod": (i32, [ctypes.c_void_p]),
+            "pafb2p_rb_sod_block": (ctypes.c_int64, [ctypes.c_void_p]),
+            "pafb2p_rb_wait_sod": (ctypes.c_int64, [ctypes.c_void_p, u64]),
             "pafb2p_rb_lock_read": (i32, [ctypes.c_void_p]),
             "pafb2p_rb_unlock_read": (i32, [ctypes.c_void_p]),
             "pafb2p_rb_open_block_read": (p_u8, [ctypes.c_void_p,
@@ -201,6 +204,17 @@ class RingBuffer:
     def set_eod(self) -> None:
         _check(self._lib.pafb2p_rb_set_eod(self._h), "set eod")
 
+    def set_sod(self) -> None:
+        """Mark start-of-data at the current write cursor: the next block
+        committed is the observation's first (``ipcbuf_enable_sod``
+        analogue, ``capture.c:622-639``). Call before committing it."""
+        _check(self._lib.pafb2p_rb_set_sod(self._h), "set sod")
+
+    @property
+    def sod_block(self) -> int:
+        """SOD block index, or -1 while unset."""
+        return self._lib.pafb2p_rb_sod_block(self._h)
+
     # reader ----------------------------------------------------------------
     def lock_read(self) -> None:
         _check(self._lib.pafb2p_rb_lock_read(self._h), "lock read")
@@ -227,6 +241,22 @@ class RingBuffer:
 
     def at_eod(self) -> bool:
         return bool(self._lib.pafb2p_rb_at_eod(self._h))
+
+    def wait_sod(self, timeout_us: int | None = None) -> int:
+        """Wait for the observation start and fast-forward to it.
+
+        Committed pre-SOD blocks are discarded (released back to the
+        writer as they arrive, so waiting never stalls the stream);
+        returns the SOD block index once this reader stands on it. A
+        reader attaching to a RUNNING ring uses this to start at the
+        marked observation boundary (PSRDADA SOD semantics; reference
+        gets this from ``ipcbuf`` for free)."""
+        rc = self._lib.pafb2p_rb_wait_sod(
+            self._h,
+            self.DEFAULT_TIMEOUT_US if timeout_us is None else timeout_us)
+        if rc < 0:
+            _check(int(rc), "wait sod")
+        return int(rc)
 
     # observability ---------------------------------------------------------
     @property
@@ -263,7 +293,8 @@ class RingSource:
     """
 
     def __init__(self, key: str, ndf: int = C.NDF_BLK, nchk: int = C.NCHK_NIC,
-                 timeout_us: int | None = None, layout: str = "wire"):
+                 timeout_us: int | None = None, layout: str = "wire",
+                 wait_sod: bool = False):
         if layout not in ("wire", "rows"):
             raise ValueError(f"unknown layout '{layout}'")
         self._rb = RingBuffer(key)
@@ -279,6 +310,16 @@ class RingSource:
             self._rb.disconnect()
             raise RingBufferError(
                 22, f"ring '{key}' bufsz {bufsz} != expected {expect}")
+        #: first observation block this source will yield (0 unless
+        #: wait_sod skipped pre-observation blocks)
+        self.start_block = 0
+        if wait_sod:
+            try:
+                self.start_block = self._rb.wait_sod(timeout_us)
+            except Exception:
+                self._rb.unlock_read()
+                self._rb.disconnect()
+                raise
         self.header = self._rb.read_header(timeout_us)
 
     def set_layout(self, layout: str) -> None:

@@ -17,9 +17,10 @@
 namespace {
 
 constexpr uint64_t kMagic = 0x50414642325042ULL; /* "PAFB2PB" */
-constexpr uint32_t kVersion = 3;
+constexpr uint32_t kVersion = 4;
 constexpr uint64_t kPollUs = 200; /* wait poll interval */
 constexpr uint64_t kNoEod = ~0ULL;
+constexpr uint64_t kNoSod = ~0ULL;
 
 /* Control page at the start of the segment. Cursors are monotonically
  * increasing block counts (never wrapped), so full/empty tests are simple
@@ -43,6 +44,7 @@ struct Control {
   std::atomic<uint64_t> w_opened;  /* blocks opened for write  */
   std::atomic<uint64_t> w_closed;  /* blocks committed         */
   std::atomic<uint64_t> eod_block; /* first block index past end, or kNoEod */
+  std::atomic<uint64_t> sod_block; /* first observation block, or kNoSod */
   std::atomic<uint32_t> hdr_filled;
   std::atomic<uint32_t> w_locked; /* writer registration */
   std::atomic<uint64_t> r_opened[PAFB2P_RB_MAX_READERS];
@@ -135,6 +137,7 @@ int pafb2p_rb_create_ex(const char *key, uint64_t bufsz, uint32_t nbufs,
   ctl->w_opened.store(0);
   ctl->w_closed.store(0);
   ctl->eod_block.store(kNoEod);
+  ctl->sod_block.store(kNoSod);
   ctl->hdr_filled.store(0);
   ctl->w_locked.store(0);
   for (uint32_t i = 0; i < PAFB2P_RB_MAX_READERS; ++i) {
@@ -293,6 +296,24 @@ int pafb2p_rb_set_eod(pafb2p_rb *h) {
   return 0;
 }
 
+int pafb2p_rb_set_sod(pafb2p_rb *h) {
+  /* Marked at the committed cursor BEFORE the first observation block is
+   * written; the release ordering of close_block_write then guarantees any
+   * reader that sees a post-SOD block committed also sees the mark (so
+   * wait_sod can never discard observation data). Not restricted to the
+   * lock-holding handle: capture registers its header from a sibling
+   * connection in the same process (cli/paf_capture.py), like PSRDADA's
+   * unpoliced ipcbuf_enable_sod. */
+  uint64_t start = h->ctl->w_closed.load(std::memory_order_relaxed);
+  h->ctl->sod_block.store(start, std::memory_order_release);
+  return 0;
+}
+
+int64_t pafb2p_rb_sod_block(const pafb2p_rb *h) {
+  uint64_t sod = h->ctl->sod_block.load(std::memory_order_acquire);
+  return sod == kNoSod ? -1 : static_cast<int64_t>(sod);
+}
+
 int pafb2p_rb_lock_read(pafb2p_rb *h) {
   if (h->reader_slot >= 0)
     return -EPERM; /* already a reader */
@@ -348,6 +369,52 @@ int pafb2p_rb_close_block_read(pafb2p_rb *h) {
     return -EPERM;
   c->r_closed[s].store(r + 1, std::memory_order_release);
   return 0;
+}
+
+int64_t pafb2p_rb_wait_sod(pafb2p_rb *h, uint64_t timeout_us) {
+  if (h->reader_slot < 0)
+    return -EPERM;
+  Control *c = h->ctl;
+  int s = h->reader_slot;
+  uint64_t waited = 0;
+  for (;;) {
+    uint64_t r = c->r_closed[s].load(std::memory_order_relaxed);
+    if (c->r_opened[s].load(std::memory_order_relaxed) != r)
+      return -EPERM; /* a block is open */
+    /* Load order matters: w (acquire) BEFORE sod. A post-SOD block's
+     * commit release-orders the earlier sod store, so a block observed
+     * committed while sod still reads unset is provably pre-SOD and safe
+     * to discard. */
+    uint64_t w = c->w_closed.load(std::memory_order_acquire);
+    uint64_t sod = c->sod_block.load(std::memory_order_acquire);
+    if (sod != kNoSod) {
+      if (r >= sod)
+        return static_cast<int64_t>(sod);
+      /* fast-forward over committed pre-SOD blocks (never past w: the
+       * cursor invariant r <= w must hold) */
+      uint64_t target = sod < w ? sod : w;
+      if (target > r) {
+        c->r_opened[s].store(target, std::memory_order_relaxed);
+        c->r_closed[s].store(target, std::memory_order_release);
+        continue;
+      }
+      /* r == w < sod: the pre-SOD blocks aren't all committed yet */
+    } else if (w > r) {
+      /* discard one pre-SOD block so the writer is never stalled by a
+       * SOD-waiting reader, however much transient data flows */
+      c->r_opened[s].store(r + 1, std::memory_order_relaxed);
+      c->r_closed[s].store(r + 1, std::memory_order_release);
+      continue;
+    } else {
+      uint64_t eod = c->eod_block.load(std::memory_order_acquire);
+      if (eod != kNoEod && r >= eod)
+        return -ENODATA; /* stream ended without a SOD mark */
+    }
+    if (waited >= timeout_us)
+      return -ETIMEDOUT;
+    sleep_us(kPollUs);
+    waited += kPollUs;
+  }
 }
 
 int pafb2p_rb_at_eod(const pafb2p_rb *h) {

@@ -74,6 +74,15 @@ int pafb2p_rb_unlock_write(pafb2p_rb *h);
 uint8_t *pafb2p_rb_open_block_write(pafb2p_rb *h, uint64_t timeout_us);
 int pafb2p_rb_close_block_write(pafb2p_rb *h, uint64_t nbytes);
 int pafb2p_rb_set_eod(pafb2p_rb *h); /* mark end-of-data at current cursor */
+/* Mark start-of-data at the current write cursor: the next block committed
+ * is the first block of the observation (the ipcbuf_enable_sod analogue,
+ * capture.c:622-639 / diskdb.cu:36-67). Blocks committed before SOD are
+ * pre-observation transient data; readers using pafb2p_rb_wait_sod discard
+ * them. Call from the writing process before committing the first
+ * observation block. */
+int pafb2p_rb_set_sod(pafb2p_rb *h);
+/* SOD block index, or -1 while unset. */
+int64_t pafb2p_rb_sod_block(const pafb2p_rb *h);
 
 /* reader side */
 int pafb2p_rb_lock_read(pafb2p_rb *h);
@@ -82,6 +91,15 @@ const uint8_t *pafb2p_rb_open_block_read(pafb2p_rb *h, uint64_t *nbytes,
                                          uint64_t timeout_us);
 int pafb2p_rb_close_block_read(pafb2p_rb *h);
 int pafb2p_rb_at_eod(const pafb2p_rb *h); /* 1 once all written data consumed */
+/* Wait for the observation start and fast-forward to it: committed blocks
+ * before the SOD mark are discarded (released back to the writer as they
+ * arrive, so a SOD-waiting reader never stalls the writer no matter how
+ * much pre-observation data flows). Returns the SOD block index once the
+ * reader cursor stands on it; -ETIMEDOUT after timeout_us; -ENODATA if the
+ * stream ended without a SOD mark. Requires a locked reader with no block
+ * open. Enables mid-stream attach: a reader joining a running ring starts
+ * at the marked observation boundary (PSRDADA SOD semantics). */
+int64_t pafb2p_rb_wait_sod(pafb2p_rb *h, uint64_t timeout_us);
 
 /* observability */
 uint64_t pafb2p_rb_blocks_written(const pafb2p_rb *h);

@@ -208,17 +208,38 @@ def _mask_tail_windows(p, tid, n_time: int, ntap: int):
     return p * valid.astype(p.dtype)
 
 
+def _tail_carry(v, tid, n_time: int, halo_len: int):
+    """Replicated overlap-save carry: the GLOBAL trailing ``halo_len``
+    samples of this block (the last time shard's tail), psum-broadcast so
+    every shard holds it for the next block's boundary windows."""
+    tail = v[..., -halo_len:]
+    if n_time > 1:
+        tail = jnp.where(tid == n_time - 1, tail, jnp.zeros_like(tail))
+    # psum even at n_time == 1: it erases the time-varying annotation so
+    # the carry can leave the shard_map with a time-replicated out_spec
+    return jax.lax.psum(tail, TIME_AXIS)
+
+
 def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
                          nout: int, stokes: bool, method: str, ops,
-                         mean: bool, shift: bool):
+                         mean: bool, shift: bool, history=None,
+                         return_history: bool = False):
     """Per-shard composed detection on a local complex series: halo
     exchange, per-window detect, end-row window scatter into global
     slots, group fold, psum over time, normalize. The single shared
     implementation behind ``make_sharded_spectra_step`` and
     ``make_multibeam_composed_step_2d``. Returns ``(nout, [4,] flat)``.
+
+    ``history``: previous block's trailing ``(ntap-1)*nfft`` samples
+    (complex, replicated over time shards). With it, the ``ntap-1``
+    boundary windows straddling the block edge are produced (they end at
+    global slots ``0..ntap-2``, so group 0 gets its full window count) —
+    cross-block overlap-save continuity at any device count, matching
+    the single-chip streaming steps (``ops/pfb.py:456-575``).
     """
     from ..ops.pfb import _spectra_detect
 
+    halo_len = (ntap - 1) * nfft
     nblk_local = v.shape[-1] // nfft
     slots_total = n_time * nblk_local
     if slots_total % nout:
@@ -226,8 +247,14 @@ def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
     wpg = slots_total // nout
     if wpg < max(ntap - 1, 1):
         raise ValueError(f"windows per spectrum {wpg} < ntap-1")
+    if (history is not None or return_history) and v.shape[-1] < halo_len:
+        raise ValueError(
+            f"streaming needs >= (ntap-1)*nfft={halo_len} samples per "
+            f"time shard, got {v.shape[-1]}")
     tid = jax.lax.axis_index(TIME_AXIS)
-    v = _halo_exchange(v, n_time, (ntap - 1) * nfft)
+    v_lead = v[..., :halo_len]
+    carry = _tail_carry(v, tid, n_time, halo_len) if return_history else None
+    v = _halo_exchange(v, n_time, halo_len)
     s = _spectra_detect(v, nfft, stokes, method, ops)
     s = _mask_tail_windows(s, tid, n_time, ntap)
     # scatter local windows into global end-row slots: window ending at
@@ -236,19 +263,29 @@ def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
     buf = jnp.zeros(s.shape[:3] + (slots_total + ntap - 1, nfft), s.dtype)
     start = tid * nblk_local + (ntap - 1)
     buf = jax.lax.dynamic_update_slice_in_dim(buf, s, start, axis=-2)
+    if history is not None:
+        # boundary windows (history ++ the global leading samples) end at
+        # slots 0..ntap-2 — below every shard's own placement, so a set
+        # is safe; all but shard 0 masked, merged by the psum below
+        sb = _spectra_detect(jnp.concatenate([history, v_lead], axis=-1),
+                             nfft, stokes, method, ops)
+        sb = sb * (tid == 0).astype(sb.dtype)
+        buf = buf.at[..., :ntap - 1, :].set(sb)
     g = buf[..., :slots_total, :].reshape(
         s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
     g = jax.lax.psum(g, TIME_AXIS)
     if mean:
         nwin_g = jnp.full((nout,), float(wpg))
-        nwin_g = nwin_g.at[0].add(-(ntap - 1))        # one-shot group 0
+        if history is None:
+            nwin_g = nwin_g.at[0].add(-(ntap - 1))    # one-shot group 0
         nwin_g = jnp.maximum(nwin_g, 1.0)     # 0-window group: 0 not NaN
         g = g / (nwin_g * (1 if stokes else npol))[:, None]
     if shift:
         g = jnp.fft.fftshift(g, axes=-1)
     ns = g.shape[2]
     out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
-    return out if stokes else out[:, 0]
+    out = out if stokes else out[:, 0]
+    return (out, carry) if return_history else out
 
 
 def _spectra_ops_np(nfft: int, ntap: int, window: str):
@@ -269,7 +306,7 @@ def _ops_to_device(method: str, ops_np):
 def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
                               window: str = "hamming", nout: int = 1,
                               stokes: bool = False, mean: bool = False,
-                              shift: bool = True):
+                              shift: bool = True, streaming: bool = False):
     """Multi-device composed fine-channel detection: PFB x tscrunch
     waterfall x Stokes under ``shard_map``.
 
@@ -278,31 +315,48 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
     the time axis (see ``_composed_shard_body``). Output:
     ``(nout, [4,] nchk*7*nfft)`` float32, channels sharded over
     ``chunk``, the spectra/Stokes axes replicated (tiny).
+
+    ``streaming``: ``step(block, history=None) -> (out, new_history)``
+    with the complex chunk-sharded carry of ``make_sharded_pfb_step`` —
+    group 0 of every non-first block then holds its full window count
+    (cross-block overlap-save continuity at any device count).
     """
     from ..ops.pfb import _block_to_series
 
     n_time = mesh.shape[TIME_AXIS]
     method, ops_np = _spectra_ops_np(nfft, ntap, window)
     out_spec = P(None, None, CHUNK_AXIS) if stokes else P(None, CHUNK_AXIS)
+    in_spec = P(TIME_AXIS, CHUNK_AXIS)
+    hspec = P(CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(TIME_AXIS, CHUNK_AXIS),
-        out_specs=out_spec,
-    )
-    def step(block):
+    def body(block, history, return_history):
         return _composed_shard_body(
             _block_to_series(block), block.shape[4], n_time, nfft, ntap,
             nout, stokes, method, _ops_to_device(method, ops_np), mean,
-            shift)
+            shift, history=history, return_history=return_history)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_spec,
+            out_specs=out_spec)(lambda b: body(b, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
+
+    def step(block, history=None):
+        return step0(block) if history is None else step1(block, history)
+
+    return step
 
 
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
                           window: str = "hamming", mean: bool = False,
-                          shift: bool = True):
+                          shift: bool = True, streaming: bool = False):
     """Build the jitted multi-device PFB spectrometer step.
 
     Each time shard channelizes its local sub-block. The FIR needs
@@ -315,52 +369,99 @@ def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
     spectra are then ``psum``-ed over the time axis.
 
     Output: ``(nchk * 7 * nfft,)`` float32, sharded over ``chunk``.
+
+    ``streaming``: the returned step becomes
+    ``step(block, history=None) -> (power, new_history)`` — the carry is
+    the block's global trailing ``(ntap-1)*nfft`` samples (complex,
+    sharded over ``chunk``, replicated over ``time``), and with history
+    the boundary windows straddling the previous block are produced, so
+    an N-device stream of K blocks sums to the one-shot golden over the
+    concatenated series (cross-block overlap-save continuity at any
+    device count — the channelizer contract of ``kernel.cuh:4-7``).
     """
     from ..ops.pfb import _block_to_series, pfb_coeffs
 
     n_time = mesh.shape[TIME_AXIS]
     coeffs_np = pfb_coeffs(nfft, ntap, window)
+    in_spec = P(TIME_AXIS, CHUNK_AXIS)
+    hspec = P(CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(TIME_AXIS, CHUNK_AXIS),
-        out_specs=P(CHUNK_AXIS),
-    )
-    def step(block):
+    def body(block, history, return_history):
         return _pfb_shard_body(_block_to_series(block), n_time, nfft, ntap,
-                               jnp.asarray(coeffs_np), mean, shift)
+                               jnp.asarray(coeffs_np), mean, shift,
+                               history=history,
+                               return_history=return_history)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_spec,
+            out_specs=P(CHUNK_AXIS))(lambda b: body(b, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(P(CHUNK_AXIS), hspec))(lambda b: body(b, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(P(CHUNK_AXIS), hspec))(lambda b, h: body(b, h, True)))
+
+    def step(block, history=None):
+        return step0(block) if history is None else step1(block, history)
+
+    return step
 
 
 def _pfb_shard_body(v, n_time: int, nfft: int, ntap: int, coeffs,
-                    mean: bool, shift: bool):
+                    mean: bool, shift: bool, history=None,
+                    return_history: bool = False):
     """Per-shard PFB spectrometer on a local complex series (halo
     exchange, channelize, tail mask, psum) — shared by the flat and
-    multibeam step factories. Returns ``(nchk_l*7*nfft,)``."""
+    multibeam step factories. Returns ``(nchk_l*7*nfft,)``.
+
+    ``history``: previous block's trailing ``(ntap-1)*nfft`` samples
+    (complex, replicated over time shards) — adds the ``ntap-1`` windows
+    straddling the block edge, so a K-block N-device stream sums to the
+    one-shot golden over the concatenated series (the single-chip
+    streaming property, ``ops/pfb.py:456-575``)."""
     from ..ops.pfb import channelize
 
+    halo_len = (ntap - 1) * nfft
+    if (history is not None or return_history) and v.shape[-1] < halo_len:
+        raise ValueError(
+            f"streaming needs >= (ntap-1)*nfft={halo_len} samples per "
+            f"time shard, got {v.shape[-1]}")
     tid = jax.lax.axis_index(TIME_AXIS)
-    v = _halo_exchange(v, n_time, (ntap - 1) * nfft)
+    v_lead = v[..., :halo_len]
+    carry = _tail_carry(v, tid, n_time, halo_len) if return_history else None
+    v = _halo_exchange(v, n_time, halo_len)
     y = channelize(v, coeffs)                           # (...,nwin,nfft)
     p = y.real * y.real + y.imag * y.imag
     nwin = p.shape[-2]
     p = _mask_tail_windows(p, tid, n_time, ntap)
     power = p.sum(axis=(2, 3))
+    nwin_extra = 0
+    if history is not None:
+        # boundary windows straddling the previous block's end: all
+        # shards compute them from the replicated history + the global
+        # lead, all but shard 0 masked, merged by the psum
+        yb = channelize(jnp.concatenate([history, v_lead], axis=-1), coeffs)
+        pb = yb.real * yb.real + yb.imag * yb.imag
+        power = power + (pb * (tid == 0).astype(pb.dtype)).sum(axis=(2, 3))
+        nwin_extra = ntap - 1
     power = jax.lax.psum(power, TIME_AXIS)
     if mean:
         total_win = jax.lax.psum(nwin, TIME_AXIS) - (
-            0 if n_time == 1 else (ntap - 1))
+            0 if n_time == 1 else (ntap - 1)) + nwin_extra
         power = power / (p.shape[2] * total_win)
     if shift:
         power = jnp.fft.fftshift(power, axes=-1)
-    return power.reshape(-1)
+    out = power.reshape(-1)
+    return (out, carry) if return_history else out
 
 
 def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
                                window: str = "hamming", mean: bool = False,
-                               shift: bool = True):
+                               shift: bool = True, streaming: bool = False):
     """PFB spectrometer on the production multi-host mesh: 2-D-per-beam
     blocks sharded ``P(beam, time, chunk)``.
 
@@ -369,35 +470,56 @@ def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
     time shard, psum partial spectra) vmapped over this shard's beams —
     collectives over the ``time`` mesh axis compose with vmap, so when
     host boundaries land on the time axis the overlap-save halo crosses
-    processes over DCN. One-shot per block (no cross-block carry).
+    processes over DCN.
     Output ``(nbeam, nchk*7*nfft)`` sharded ``P(beam, chunk)``.
+
+    ``streaming``: ``step(blocks, history=None) -> (out, new_history)``
+    with a per-beam complex carry ``(nbeam, nchk, 7, npol,
+    (ntap-1)*nfft)`` sharded ``P(beam, chunk)`` (replicated over time) —
+    cross-block overlap-save continuity across hosts.
     """
     from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
     from ..ops.pfb import _block_to_series, pfb_coeffs
 
     n_time = mesh.shape[TIME_AXIS]
     coeffs_np = pfb_coeffs(nfft, ntap, window)
+    in_spec = P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS)
+    out_spec = P(BEAM_AXIS, CHUNK_AXIS)
+    hspec = P(BEAM_AXIS, CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
-        out_specs=P(BEAM_AXIS, CHUNK_AXIS),
-    )
-    def step(blocks):
+    def body(blocks, history, return_history):
         nbeam_l, ndf_l, lanes_l = blocks.shape
         nchk_l = lanes_l // (DT_SIZE // 2)
 
-        def one(b2d):
+        def one(b2d, h):
             block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
                                  NPOL_SAMP, NDIM_POL)
             return _pfb_shard_body(_block_to_series(block6), n_time, nfft,
                                    ntap, jnp.asarray(coeffs_np), mean,
-                                   shift)
+                                   shift, history=h,
+                                   return_history=return_history)
 
-        return jax.vmap(one)(blocks)
+        if history is None:
+            return jax.vmap(lambda b: one(b, None))(blocks)
+        return jax.vmap(one)(blocks, history)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_spec,
+            out_specs=out_spec)(lambda b: body(b, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
+
+    def step(blocks, history=None):
+        return step0(blocks) if history is None else step1(blocks, history)
+
+    return step
 
 
 def make_sharded_stokes_scrunch_step(mesh, nout: int, mean: bool = False):
@@ -431,7 +553,8 @@ def make_sharded_stokes_scrunch_step(mesh, nout: int, mean: bool = False):
 def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
                                     window: str = "hamming", nout: int = 1,
                                     stokes: bool = False, mean: bool = False,
-                                    shift: bool = True):
+                                    shift: bool = True,
+                                    streaming: bool = False):
     """Composed detection on the multi-host mesh: 2-D-per-beam blocks
     sharded ``P(beam, time, chunk)``, any combination of PFB x Stokes x
     tscrunch.
@@ -447,6 +570,10 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
     from ..constants import DT_SIZE, NCHAN_CHK, NDIM_POL, NPOL_SAMP, NSAMP_DF
 
     n_time = mesh.shape[TIME_AXIS]
+    if streaming and not nfft:
+        raise ValueError(
+            "streaming carries exist only for fine-channel (nfft > 0) "
+            "modes — coarse-channel detection has no cross-block state")
     if not nfft and nout == 1:
         if not stokes:
             raise ValueError(
@@ -503,34 +630,50 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
     method, ops_np = _spectra_ops_np(nfft, ntap, window)
     out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
                 else P(BEAM_AXIS, None, CHUNK_AXIS))
+    in_spec = P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS)
+    hspec = P(BEAM_AXIS, CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS),
-        out_specs=out_spec,
-    )
-    def step(blocks):
+    def body(blocks, history, return_history):
         nbeam_l, ndf_l, lanes_l = blocks.shape
         nchk_l = lanes_l // (DT_SIZE // 2)
         ops = _ops_to_device(method, ops_np)
 
-        def one(b2d):
+        def one(b2d, h):
             block6 = b2d.reshape(ndf_l, nchk_l, NSAMP_DF, NCHAN_CHK,
                                  NPOL_SAMP, NDIM_POL)
             return _composed_shard_body(
                 _block_to_series(block6), NPOL_SAMP, n_time, nfft, ntap,
-                nout, stokes, method, ops, mean, shift)
+                nout, stokes, method, ops, mean, shift, history=h,
+                return_history=return_history)
 
-        return jax.vmap(one)(blocks)
+        if history is None:
+            return jax.vmap(lambda b: one(b, None))(blocks)
+        return jax.vmap(one)(blocks, history)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_spec,
+            out_specs=out_spec)(lambda b: body(b, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
+
+    def step(blocks, history=None):
+        return step0(blocks) if history is None else step1(blocks, history)
+
+    return step
 
 
 def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
                              window: str = "hamming", nout: int = 1,
                              stokes: bool = False, mean: bool = False,
-                             shift: bool = True, interpret: bool = False):
+                             shift: bool = True, interpret: bool = False,
+                             streaming: bool = False):
     """Beam-parallel detection on device-layout (series-row) blocks.
 
     The rows layout makes beam data-parallelism trivial: a beam-stacked
@@ -553,6 +696,13 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
     ``(nbeam, nout, [4,] nchan*max(nfft,1))`` float32. ``interpret``
     runs the Pallas kernels in interpret mode (CPU-mesh tests; on TPU
     leave False).
+
+    ``streaming`` (``nfft`` > 0 only): ``step(blocks, history=None) ->
+    (out, new_history)`` with the fused kernels' raw int16 rows carry,
+    stacked per beam — ``(nbeam, nseries, (ntap-1)*nfft/128, 256)``
+    sharded ``P(beam, chunk)`` exactly like the blocks. The carry is a
+    pure slice of each shard's own input, so rows streaming needs ZERO
+    collectives.
     """
     from ..ops.pallas_pfb import pfb_spectra_fused
     from ..ops.pallas_power import (
@@ -560,17 +710,16 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         baseband2stokes_scrunch_rows_pallas,
     )
 
+    if streaming and not nfft:
+        raise ValueError(
+            "streaming carries exist only for fine-channel (nfft > 0) "
+            "modes — coarse-channel detection has no cross-block state")
     out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
                 else P(BEAM_AXIS, None, CHUNK_AXIS))
+    in_spec = P(BEAM_AXIS, CHUNK_AXIS)
+    hspec = P(BEAM_AXIS, CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(BEAM_AXIS, CHUNK_AXIS),
-        out_specs=out_spec,
-        check_vma=False,  # pallas_call outputs carry no vma annotations
-    )
-    def step(blocks):
+    def body(blocks, history, return_history):
         nbeam_l, nseries, ndf, lanes = blocks.shape
         from ..constants import NCHAN_CHK, NPOL_SAMP
 
@@ -587,11 +736,17 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
             out = pfb_spectra_fused(
                 stacked, nfft, ntap, window=window, nout=nout,
                 stokes=stokes, mean=mean, shift=shift, layout="rows",
-                interpret=interpret)
+                history=(None if history is None
+                         else history.reshape(nbeam_l * nseries, -1, lanes)),
+                return_history=return_history, interpret=interpret)
+            if return_history:
+                out, h = out
+                h = h.reshape(nbeam_l, nseries, -1, lanes)
             # (nout, [4,] nbeam_l*nchan*nfft) -> beam-major leading axis
             lead = out.shape[:-1]
             out = out.reshape(lead + (nbeam_l, nseries // 2 * nfft))
-            return jnp.moveaxis(out, -2, 0)
+            out = jnp.moveaxis(out, -2, 0)
+            return (out, h) if return_history else out
         if stokes:
             out = baseband2stokes_scrunch_rows_pallas(
                 stacked, nout, mean=mean, interpret=interpret)
@@ -602,13 +757,33 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         out = out.reshape(lead + (nbeam_l, nseries // 2))
         return jnp.moveaxis(out, -2, 0)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )(lambda b: body(b, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(out_spec, hspec),
+        check_vma=False)(lambda b: body(b, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(out_spec, hspec),
+        check_vma=False)(lambda b, h: body(b, h, True)))
+
+    def step(blocks, history=None):
+        return step0(blocks) if history is None else step1(blocks, history)
+
+    return step
 
 
 def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
                            window: str = "hamming", nout: int = 1,
                            stokes: bool = False, mean: bool = False,
-                           shift: bool = True, interpret: bool = False):
+                           shift: bool = True, interpret: bool = False,
+                           streaming: bool = False):
     """Single-beam multi-device detection on a device-layout block:
     the series axis is the natural tensor-parallel axis of the rows
     form — every kernel (power, Stokes, the fused fine-channel
@@ -620,6 +795,12 @@ def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
     polarization pairs and the channel-grouping epilogue never straddle
     shards). Output sharded ``P([...,] chunk)`` on the channel axis:
     ``(nout, [4,] nchan*max(nfft,1))``.
+
+    ``streaming`` (``nfft`` > 0 only): ``step(rows, history=None) ->
+    (out, new_history)`` — the raw int16 rows carry
+    ``(nseries, (ntap-1)*nfft/128, 256)`` shards over ``chunk`` exactly
+    like the input (a pure slice of each shard's own series), so
+    streaming on the rows TP axis needs ZERO collectives.
     """
     from ..constants import NCHAN_CHK, NPOL_SAMP
     from ..ops.pallas_pfb import pfb_spectra_fused
@@ -628,18 +809,16 @@ def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         baseband2stokes_scrunch_rows_pallas,
     )
 
+    if streaming and not nfft:
+        raise ValueError(
+            "streaming carries exist only for fine-channel (nfft > 0) "
+            "modes — coarse-channel detection has no cross-block state")
     n_chunk = mesh.shape[CHUNK_AXIS]
     out_spec = (P(None, None, CHUNK_AXIS) if stokes
                 else P(None, CHUNK_AXIS))
+    hspec = P(CHUNK_AXIS)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(CHUNK_AXIS),
-        out_specs=out_spec,
-        check_vma=False,  # pallas_call outputs carry no vma annotations
-    )
-    def step(rows):
+    def body(rows, history, return_history):
         nseries_l = rows.shape[0]
         if nseries_l % (NCHAN_CHK * NPOL_SAMP):
             raise ValueError(
@@ -647,16 +826,34 @@ def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
                 f"chunks ({NCHAN_CHK * NPOL_SAMP} series each): use "
                 f"n_chunk dividing nchk (mesh chunk={n_chunk})")
         if nfft:
-            out = pfb_spectra_fused(
+            return pfb_spectra_fused(
                 rows, nfft, ntap, window=window, nout=nout, stokes=stokes,
-                mean=mean, shift=shift, layout="rows",
-                interpret=interpret)
-        elif stokes:
-            out = baseband2stokes_scrunch_rows_pallas(
+                mean=mean, shift=shift, layout="rows", history=history,
+                return_history=return_history, interpret=interpret)
+        if stokes:
+            return baseband2stokes_scrunch_rows_pallas(
                 rows, nout, mean=mean, interpret=interpret)
-        else:
-            out = baseband2power_scrunch_rows_pallas(
-                rows, nout, mean=mean, interpret=interpret)
-        return out
+        return baseband2power_scrunch_rows_pallas(
+            rows, nout, mean=mean, interpret=interpret)
 
-    return jax.jit(step)
+    if not streaming:
+        step = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P(CHUNK_AXIS),
+            out_specs=out_spec,
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )(lambda r: body(r, None, False))
+        return jax.jit(step)
+
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(CHUNK_AXIS),),
+        out_specs=(out_spec, hspec),
+        check_vma=False)(lambda r: body(r, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(CHUNK_AXIS), hspec),
+        out_specs=(out_spec, hspec),
+        check_vma=False)(lambda r, h: body(r, h, True)))
+
+    def step(rows, history=None):
+        return step0(rows) if history is None else step1(rows, history)
+
+    return step

@@ -181,10 +181,12 @@ def test_local_shape_validation():
         runner.assemble(np.zeros((1, NDF // 2, 8), np.int16))
 
 
-def test_two_process_pfb_halo(tmp_path):
-    """PFB across processes: the overlap-save halo ppermutes from the
-    first time shard of process 1 to the last time shard of process 0 —
-    FIR history crossing a real OS-process (DCN-style) boundary."""
+def test_two_process_pfb_halo_streaming(tmp_path):
+    """PFB across processes AND blocks: the overlap-save halo ppermutes
+    from the first time shard of process 1 to the last time shard of
+    process 0 within a block, and the cross-BLOCK carry makes the
+    2-process K-block stream sum to the one-shot golden over the
+    concatenated series (VERDICT r4 missing #1)."""
     from paf_baseband2power_tpu.ops import pfb as _pfb
 
     nfft, ntap = 16, 4
@@ -195,11 +197,14 @@ def test_two_process_pfb_halo(tmp_path):
     nchan_f = NCHK * C.NCHAN_CHK * nfft
     recs = _read_power(out, nchan_f)
     assert len(recs) == NBLOCKS
-    for i, rec in enumerate(recs):
-        want = _pfb.pfb_power_golden(
-            synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nfft, ntap)
-        np.testing.assert_allclose(rec, want, rtol=2e-4,
-                                   err_msg=f"block {i}")
+    blocks = [synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
+              for i in range(NBLOCKS)]
+    # block 0 is one-shot; later blocks include the boundary windows
+    np.testing.assert_allclose(
+        recs[0], _pfb.pfb_power_golden(blocks[0], nfft, ntap), rtol=2e-4)
+    want_total = _pfb.pfb_power_golden(
+        np.concatenate(blocks, axis=0), nfft, ntap)
+    np.testing.assert_allclose(np.sum(recs, axis=0), want_total, rtol=2e-4)
 
 
 def test_two_process_composed_spectra(tmp_path):
@@ -217,13 +222,17 @@ def test_two_process_composed_spectra(tmp_path):
     rec_floats = nout * 4 * NCHK * C.NCHAN_CHK * nfft
     recs = _read_power(out, rec_floats)
     assert len(recs) == NBLOCKS
+    # streaming: block i's waterfall equals groups [i*nout, (i+1)*nout)
+    # of the one-shot golden over the concatenated stream
+    blocks = [synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
+              for i in range(NBLOCKS)]
+    want_all = pfb_spectra_golden(np.concatenate(blocks, axis=0), nfft,
+                                  ntap, nout=NBLOCKS * nout, stokes=True)
     for i, rec in enumerate(recs):
-        want = pfb_spectra_golden(
-            synthetic_block(rng=i, ndf=NDF, nchk=NCHK), nfft, ntap,
-            nout=nout, stokes=True)
+        want = want_all[i * nout:(i + 1) * nout]
         got = rec.reshape(want.shape)
         np.testing.assert_allclose(got, want, rtol=2e-4,
-                                   atol=1e-5 * np.abs(want).max(),
+                                   atol=1e-5 * np.abs(want_all).max(),
                                    err_msg=f"block {i}")
 
 
@@ -292,3 +301,29 @@ def test_two_process_device_layout(tmp_path):
             np.testing.assert_allclose(
                 recs[2 * i + b], _golden(b, i), rtol=1e-5,
                 err_msg=f"block {i} beam {b}")
+
+
+def test_two_process_device_layout_pfb_streaming(tmp_path):
+    """2-process rows beam-DP fine channels: each host's fused-kernel
+    carry is a slice of its own series rows (zero collectives), and the
+    per-beam stream matches the concatenated golden block for block."""
+    from paf_baseband2power_tpu.ops.pfb import pfb_spectra_golden
+
+    nblocks, nfft = 2, 128
+    out = str(tmp_path / "rows_spec.dada")
+    _run_two_procs(["-a", f"synthetic:{nblocks}", "-b", out, "--nbeam", "2",
+                    "--ndf", "32", "--nchk", "2", "--pfb", str(nfft),
+                    "--device-layout"], tmp_path, timeout=480)
+    nchan_f = 2 * C.NCHAN_CHK * nfft
+    recs = _read_power(out, nchan_f)
+    assert len(recs) == nblocks * 2
+    for b in range(2):
+        blocks = [synthetic_block(rng=1000 * b + i, ndf=32, nchk=2)
+                  for i in range(nblocks)]
+        want_all = pfb_spectra_golden(np.concatenate(blocks, axis=0),
+                                      nfft, 4, nout=nblocks)
+        for i in range(nblocks):
+            np.testing.assert_allclose(
+                recs[2 * i + b], want_all[i], rtol=2e-4,
+                atol=1e-5 * np.abs(want_all).max(),
+                err_msg=f"beam {b} block {i}")
