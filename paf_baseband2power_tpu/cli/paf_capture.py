@@ -23,6 +23,11 @@ from .. import constants as C
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="paf_capture")
     ap.add_argument("-a", "--key", default=C.DEFAULT_KEY_IN, help="ring key")
+    ap.add_argument("-b", "--sod", type=int, default=1,
+                    help="start-of-data flag (paf_capture.c -b parity): "
+                    "1 marks SOD at the first captured block so readers "
+                    "can wait for the observation start; 0 captures "
+                    "without a SOD mark")
     ap.add_argument("-c", "--ndf", type=int, default=C.NDF_BLK,
                     help="frames per ring block")
     ap.add_argument("--ip", default=None, help="bind address")
@@ -98,6 +103,11 @@ def main(argv=None) -> int:
         nports = eng.probe()
         log.info("probe: %d active ports, %d chunks", nports,
                  eng.active_chunks)
+        if args.sod:
+            # mark SOD before any block commits: the first captured
+            # block is the observation start (capture.c:622-639 parity)
+            with rb.RingBuffer(args.key) as sring:
+                sring.set_sod()
         eng.start()
 
         table = load_epoch_table(args.epoch_file) if args.epoch_file else None

@@ -148,3 +148,79 @@ def test_composed_ring_pipeline_via_launcher(tmp_path, keys):
     got = np.frombuffer(recs[0], "<f4").reshape(want.shape)
     np.testing.assert_allclose(got, want, rtol=2e-4,
                                atol=1e-5 * np.abs(want).max())
+
+def test_sod_cli_pipeline(tmp_path, keys):
+    """Cross-process SOD: one writer (the capture pattern) commits
+    pre-observation transient blocks, marks SOD, then streams the
+    observation; paf_dbdisk --wait-sod attaches mid-stream and spills
+    exactly the observation."""
+    import threading
+    import time
+
+    key, _ = keys
+    bufsz = NDF * NCHK * C.DT_SIZE
+    rb.create(key, bufsz, 8)
+    blocks = [F.synthetic_block(rng=11 + i, ndf=NDF, nchk=NCHK)
+              for i in range(2)]
+    junk_done = threading.Event()
+
+    def writer():
+        from paf_baseband2power_tpu.io.dada import baseband_header
+
+        with rb.RingBuffer(key) as w:
+            w.lock_write()
+            for _ in range(2):                    # alignment transient
+                view = w.open_block_write()
+                view[:] = 0xEE
+                w.close_block_write()
+            junk_done.set()
+            time.sleep(0.3)                       # reader attaches here
+            w.write_header(baseband_header(nchan=NCHK * C.NCHAN_CHK))
+            w.set_sod()
+            for b in blocks:
+                view = w.open_block_write()
+                view[:] = np.frombuffer(b.tobytes(), np.uint8)
+                w.close_block_write()
+            w.set_eod()
+            w.unlock_write()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        junk_done.wait(timeout=30)
+        r = run_cli("paf_dbdisk", "-k", key, "-D", str(tmp_path),
+                    "-o", "obs.dada", "-W", "--wait-sod")
+    finally:
+        t.join(timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert "wrote 2 blocks" in r.stdout
+
+    reader = DadaFileReader(str(tmp_path / "obs.dada"))
+    recs = list(reader.blocks(bufsz))
+    reader.close()
+    assert len(recs) == 2
+    for i, raw in enumerate(recs):
+        np.testing.assert_array_equal(
+            np.frombuffer(raw, "<i2"), blocks[i].reshape(-1))
+
+
+def test_diskdb_marks_sod(tmp_path, keys):
+    """paf_diskdb -e 1 marks SOD at its first replayed block; -e 0
+    replays without a mark (transient data, paf_diskdb.cu -e parity)."""
+    key, _ = keys
+    bb = str(tmp_path / "bb.dada")
+    r = run_cli("paf_gen", "-o", bb, "-n", "1", "--ndf", str(NDF),
+                "--nchk", str(NCHK), "--seed", "5")
+    assert r.returncode == 0, r.stderr
+    rb.create(key, NDF * NCHK * C.DT_SIZE, 4)
+    r = run_cli("paf_diskdb", "-a", key, "-c", bb, "-b", str(tmp_path),
+                "-e", "0")
+    assert r.returncode == 0, r.stderr
+    with rb.RingBuffer(key) as ring:
+        assert ring.sod_block == -1
+    rb.destroy(key)
+    rb.create(key, NDF * NCHK * C.DT_SIZE, 4)
+    r = run_cli("paf_diskdb", "-a", key, "-c", bb, "-b", str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    with rb.RingBuffer(key) as ring:
+        assert ring.sod_block == 0

@@ -288,3 +288,153 @@ def test_lock_pages(key):
     rb.create(key, bufsz=4096, nbufs=2)
     with rb.RingBuffer(key) as ring:
         assert not ring.pages_locked
+
+
+# ---------------------------------------------------------------------------
+# SOD (start-of-data) stream framing — reference: ipcbuf enable_sod /
+# reader-waits-for-SOD (capture.c:622-639, diskdb.cu:36-67)
+# ---------------------------------------------------------------------------
+
+def test_sod_basic(key):
+    """Pre-SOD blocks are transient: a SOD-waiting reader starts exactly
+    at the marked observation boundary."""
+    rb.create(key, bufsz=64, nbufs=8)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        assert w.sod_block == -1
+        for i in range(2):                       # transient junk
+            view = w.open_block_write()
+            view[:] = 200 + i
+            w.close_block_write()
+        w.set_sod()
+        assert w.sod_block == 2
+        for i in range(3):                       # the observation
+            view = w.open_block_write()
+            view[:] = i
+            w.close_block_write()
+        w.set_eod()
+        assert r.wait_sod() == 2
+        for i in range(3):
+            view = r.open_block_read()
+            assert view[0] == i
+            r.close_block_read()
+        assert r.open_block_read() is None
+
+
+def test_sod_at_block_zero(key):
+    """SOD before any block (the capture default): nothing skipped."""
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        w.lock_write()
+        r.lock_read()
+        w.set_sod()
+        view = w.open_block_write()
+        view[:] = 42
+        w.close_block_write()
+        assert r.wait_sod() == 0
+        assert r.open_block_read()[0] == 42
+
+
+def test_wait_sod_enodata_and_timeout(key):
+    rb.create(key, bufsz=64, nbufs=2)
+    with rb.RingBuffer(key) as w, rb.RingBuffer(key) as r:
+        r.lock_read()
+        with pytest.raises(rb.RingBufferError):   # ETIMEDOUT
+            r.wait_sod(timeout_us=20_000)
+        w.lock_write()
+        w.open_block_write()
+        w.close_block_write()
+        w.set_eod()
+        with pytest.raises(rb.RingBufferError):   # ENODATA: ended, no SOD
+            r.wait_sod(timeout_us=1_000_000)
+
+
+def _sod_writer_proc(key, njunk, nobs):
+    ring = rb.RingBuffer(key)
+    ring.lock_write()
+    for i in range(njunk):
+        view = ring.open_block_write()
+        view[:] = 100 + (i % 100)
+        ring.close_block_write()
+    ring.write_header(DadaHeader(UTC_START="2026-03-01-00:00:00"))
+    ring.set_sod()
+    for i in range(nobs):
+        view = ring.open_block_write()
+        view[:] = i
+        ring.close_block_write()
+    ring.set_eod()
+    ring.unlock_write()
+    ring.disconnect()
+
+
+def test_wait_sod_never_stalls_writer(key):
+    """More pre-SOD blocks than the ring holds: the SOD-waiting reader
+    discards them as they arrive, so the writer never blocks — mid-stream
+    attach works with arbitrary amounts of transient data."""
+    rb.create(key, bufsz=64, nbufs=2)        # 6 junk blocks >> 2 slots
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_sod_writer_proc, args=(key, 6, 3))
+    p.start()
+    try:
+        with rb.RingBuffer(key) as r:
+            r.lock_read()
+            sod = r.wait_sod()
+            assert sod == 6
+            seen = 0
+            while True:
+                view = r.open_block_read()
+                if view is None:
+                    break
+                assert view[0] == seen
+                r.close_block_read()
+                seen += 1
+            assert seen == 3
+    finally:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+
+def test_mid_stream_attach_resume(key):
+    """A reader joining a running ring starts at the SOD boundary with
+    the right absolute time: UTC_START from the header plus the
+    SOD-relative block offset (the operational behavior the reference
+    gets from PSRDADA)."""
+    from paf_baseband2power_tpu.io.ringbuffer import RingSource
+    from paf_baseband2power_tpu import constants as C
+    from paf_baseband2power_tpu.ops.time_utils import block_timestamp
+
+    ndf, nchk = 4, 1
+    bufsz = ndf * nchk * C.DT_SIZE
+    rb.create(key, bufsz, nbufs=8)
+    with rb.RingBuffer(key) as w:
+        w.lock_write()
+        for i in range(2):                        # pre-observation
+            view = w.open_block_write()
+            view[:] = 255
+            w.close_block_write()
+        from paf_baseband2power_tpu.io.dada import baseband_header
+
+        w.write_header(baseband_header(
+            utc_start="2026-03-01-00:00:00", picoseconds=0,
+            nchan=nchk * C.NCHAN_CHK))
+        w.set_sod()
+        for i in range(2):                        # the observation
+            view = w.open_block_write()
+            view.view("<i2")[:] = i + 1
+            w.close_block_write()
+        w.set_eod()
+
+        src = RingSource(key, ndf=ndf, nchk=nchk, wait_sod=True)
+        assert src.start_block == 2
+        blocks = list(src)
+        assert len(blocks) == 2
+        assert blocks[0].flat[0] == 1 and blocks[1].flat[0] == 2
+        # absolute timestamps are SOD-relative: block i of the
+        # observation is UTC_START + i * ndf * TDF_SEC
+        block_ps = int(round(ndf * C.TDF_SEC * 1e12))
+        utc, ps = block_timestamp(src.header["UTC_START"],
+                                  int(src.header.get("PICOSECONDS", 0)),
+                                  1, block_ps)
+        assert utc == "2026-03-01-00:00:00"
+        assert ps == block_ps
