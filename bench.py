@@ -192,10 +192,10 @@ def bench_matrix(ndf: int, iters: int) -> dict:
         rows = make_block_rows(ndf)
         hist = {}
 
-        def pfb_rows_step(nfft):
-            def step(b, key=f"h{nfft}"):
+        def pfb_rows_step(nfft, stokes=False):
+            def step(b, key=f"h{nfft}{stokes}"):
                 out, hist[key] = pfb_spectra_fused(
-                    b, nfft, 4, history=hist.get(key),
+                    b, nfft, 4, stokes=stokes, history=hist.get(key),
                     return_history=True, layout="rows")
                 return out
             return step
@@ -217,7 +217,14 @@ def bench_matrix(ndf: int, iters: int) -> dict:
             ("stokes rows",
              lambda b: baseband2stokes_scrunch_rows_pallas(b, 1), rows,
              None),
+            # recommended-layout composed modes (README table rows: the
+            # packed-window Stokes waterfall and the fused PFB x Stokes)
+            ("stokes x scrunch[64] rows",
+             lambda b: baseband2stokes_scrunch_rows_pallas(b, 64), rows,
+             None),
             ("pfb 128 rows streaming", pfb_rows_step(128), rows, None),
+            ("pfb 128 x stokes rows streaming",
+             pfb_rows_step(128, stokes=True), rows, None),
             ("pfb 1024 rows streaming", pfb_rows_step(1024), rows, None),
         ]
 
