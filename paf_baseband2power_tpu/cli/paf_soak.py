@@ -64,8 +64,21 @@ def main(argv=None) -> int:
                     help="full-Stokes detection as the compute stage")
     ap.add_argument("--nspectra", type=int, default=1,
                     help="sub-block integration: N spectra per block")
+    ap.add_argument("--spill", metavar="DIR", default=None,
+                    help="full reference topology: create the ring with "
+                    "NREADER=2 and run a second reader spilling raw "
+                    "baseband to DIR/<UTC>.dada concurrently with compute "
+                    "(the dada_dbdisk tap, paf-baseband2power.py:117-127)")
+    ap.add_argument("--sharded-rows", action="store_true",
+                    help="route compute through make_sharded_rows_step "
+                    "(series-TP under shard_map with the streaming rows "
+                    "carry) on a mesh of all local devices — the live "
+                    "soak mode for the sharded fine-channel path; needs "
+                    "--device-layout and --pfb")
     ap.add_argument("-k", "--dir", default=None, help="log directory")
     args = ap.parse_args(argv)
+    if args.sharded_rows and not (args.device_layout and args.pfb):
+        ap.error("--sharded-rows needs --device-layout and --pfb")
     if args.tbuf and not 0 < args.tbuf <= args.ndf:
         ap.error(f"--tbuf must be in [1, --ndf={args.ndf}]: the native "
                  "engine rejects a temp buffer deeper than one ring block")
@@ -79,7 +92,8 @@ def main(argv=None) -> int:
 
     log = open_log("paf_soak", args.dir)
     key = "sk" + uuid.uuid4().hex[:6]
-    rb.create(key, args.ndf * args.nchk * C.DT_SIZE, args.nblk)
+    rb.create(key, args.ndf * args.nchk * C.DT_SIZE, args.nblk,
+              nreader=2 if args.spill else 1)
     # the shm ring must not leak if engine construction / warmup / the
     # soak body raises — everything below runs under this finally
     try:
@@ -101,7 +115,29 @@ def _soak(args, key: str, log) -> dict:
     # first-block JIT (tens of seconds on a remote-compile TPU) would stall
     # the ring reader, fill the ring, and trip capture's fall-behind quit
     sink = MemorySink()
-    pipe = PowerPipeline(depth=2 * args.fetch_every, log_dir=args.dir,
+    power_fn = None
+    if args.sharded_rows:
+        # the sharded streaming rows step as the live compute stage: a
+        # mesh over all local devices, series-TP with the zero-collective
+        # int16 rows carry (parallel/sharded.py: make_sharded_rows_step)
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import make_sharded_rows_step
+
+        ndev = len(jax.devices())
+        n_chunk = ndev
+        while n_chunk > 1 and args.nchk % n_chunk:
+            n_chunk -= 1
+        mesh = make_mesh(n_time=1, n_chunk=n_chunk,
+                         devices=jax.devices()[:n_chunk])
+        log.info("sharded-rows soak: %d-device chunk mesh", n_chunk)
+        power_fn = make_sharded_rows_step(
+            mesh, nfft=args.pfb, ntap=args.ntap, nout=args.nspectra,
+            stokes=args.stokes, streaming=True,
+            interpret=jax.default_backend() != "tpu")
+    pipe = PowerPipeline(power_fn=power_fn, depth=2 * args.fetch_every,
+                         log_dir=args.dir,
                          name="paf_soak_compute",
                          fetch_every=args.fetch_every,
                          device_layout=args.device_layout,
@@ -202,12 +238,49 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
 
     cx = threading.Thread(target=compute)
     cx.start()
+
+    # second reader: raw-baseband spill to disk, concurrent with compute
+    # (the dada_dbdisk tap of the reference topology; the ring was
+    # created with NREADER=2 so the writer waits on the slower of the
+    # two readers, exactly like dada_db -r 2)
+    spill_info = {}
+    sx = None
+    if args.spill:
+        def spill():
+            import os
+
+            ring = rb.RingBuffer(key)
+            ring.lock_read()
+            hdr = ring.read_header()
+            from ..io.dada import DadaFileWriter
+
+            path = os.path.join(args.spill,
+                                f"{hdr.get('UTC_START', 'soak')}.dada")
+            n = 0
+            with DadaFileWriter(path, hdr) as w:
+                while True:
+                    view = ring.open_block_read()
+                    if view is None:
+                        break
+                    w.write(view.tobytes())
+                    ring.close_block_read()
+                    n += 1
+            ring.unlock_read()
+            ring.disconnect()
+            spill_info["blocks"] = n
+            spill_info["path"] = path
+
+        sx = threading.Thread(target=spill)
+        sx.start()
+
     t_start = time.perf_counter()
     tx.start()
     tx.join()
     stream_elapsed = time.perf_counter() - t_start
     eng.wait()
     cx.join()
+    if sx is not None:
+        sx.join()
     stats = result["stats"]
 
     import jax
@@ -224,7 +297,9 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
             + (["stokes"] if args.stokes else [])
             + ([f"waterfall[{args.nspectra}]"] if args.nspectra > 1 else [])
             or ["power"])
-            + ("  [device-layout rows]" if args.device_layout else ""),
+            + ("  [device-layout rows]" if args.device_layout else "")
+            + ("  [sharded-rows]" if args.sharded_rows else "")
+            + ("  [spill tap NREADER=2]" if args.spill else ""),
         "seconds": args.seconds,
         "rate_x_realtime": args.rate,
         "sender": args.sender,
@@ -240,6 +315,12 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
         "pass": bool(loss <= args.max_loss
                      and stats.nblocks >= expected_blocks - 1),
     }
+    if args.spill:
+        report["blocks_spilled"] = spill_info.get("blocks", 0)
+        report["spill_path"] = spill_info.get("path")
+        report["pass"] = bool(
+            report["pass"]
+            and spill_info.get("blocks", 0) == int(eng.blocks_committed))
     return report
 
 
