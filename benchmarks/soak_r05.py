@@ -1,0 +1,112 @@
+"""Run the r5 live-topology soak matrix on the REAL TPU backend.
+
+r5 additions over the r4 matrix (VERDICT r4 missing #5 / weak #5 and
+"next round" items 1 and 6):
+
+* **Full reference topology**: ring created NREADER=2 with a concurrent
+  raw-baseband disk spill alongside compute (`paf_soak --spill`) — the
+  3-process `paf-baseband2power.py:117-127` program with both readers
+  live on the chip.
+* **Minutes-long true-cadence run**: >= 60 s at rate 1.0 (the real
+  108 us frame cadence) — hundreds of blocks of stable carry/cadence,
+  where r4 ran 8 s / 37 blocks.
+* **Sharded-rows streaming live mode**: compute routed through
+  `make_sharded_rows_step` (shard_map series-TP with the int16 rows
+  carry) — the sharded fine-channel path in the live loop.
+
+Rates/widths remain tunnel-sustainable (axon link; the kernels run
+38-253x real time, BENCH_r05). Writes benchmarks/SOAK_r05.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "benchmarks", "SOAK_r05.json")
+
+BASE_ARGS = ["--ndf", "1024", "--nports", "1", "--nblk", "8",
+             "--fetch-every", "8"]
+
+RUNS = [
+    # (label, extra args, timeout_s)
+    ("power device-layout, full topology NREADER=2 spill",
+     ["--seconds", "8", "--rate", "0.5", "--nchk", "2", "--device-layout",
+      "--spill", "/tmp/soak_r05_spill"], 900),
+    ("pfb128 device-layout, full topology NREADER=2 spill",
+     ["--seconds", "8", "--rate", "0.5", "--nchk", "2", "--device-layout",
+      "--pfb", "128", "--spill", "/tmp/soak_r05_spill"], 900),
+    ("pfb128 sharded-rows streaming (shard_map live)",
+     ["--seconds", "8", "--rate", "0.5", "--nchk", "2", "--device-layout",
+      "--pfb", "128", "--sharded-rows"], 900),
+    ("power device-layout, TRUE 108us cadence, 60 s",
+     ["--seconds", "60", "--rate", "1.0", "--nchk", "1",
+      "--device-layout"], 1800),
+    ("pfb128 x waterfall[64] device-layout, TRUE cadence, 60 s",
+     ["--seconds", "60", "--rate", "1.0", "--nchk", "1", "--device-layout",
+      "--pfb", "128", "--nspectra", "64"], 1800),
+]
+
+
+def main():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env.pop("JAX_PLATFORMS", None)  # let the axon plugin select the TPU
+    os.makedirs("/tmp/soak_r05_spill", exist_ok=True)
+    runs = []
+    port = 30100
+    for label, extra, tmo in RUNS:
+        cmd = [sys.executable, "-m",
+               "paf_baseband2power_tpu.cli.paf_soak",
+               *BASE_ARGS, *extra, "--port-base", str(port),
+               "-k", f"/tmp/soak_r05_{port}"]
+        port += 10
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, env=env, capture_output=True,
+                               text=True, timeout=tmo, cwd=REPO)
+            line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+            try:
+                rep = json.loads(line)
+            except json.JSONDecodeError:
+                rep = {"error": (r.stdout + r.stderr)[-400:], "pass": False}
+        except subprocess.TimeoutExpired:
+            rep = {"error": f"timeout after {tmo}s", "pass": False}
+        rep["label"] = label
+        rep["wall_sec"] = round(time.time() - t0, 1)
+        runs.append(rep)
+        print(json.dumps({k: rep.get(k) for k in
+                          ("label", "mode", "loss", "blocks_computed",
+                           "expected_blocks", "blocks_spilled", "pass")}),
+              flush=True)
+        with open(OUT, "w") as f:
+            json.dump(_artifact(runs), f, indent=1)
+    bad = [r["label"] for r in runs if not r.get("pass")]
+    print(json.dumps({"ok": not bad, "failed": bad}))
+
+
+def _artifact(runs):
+    return {
+        "what": "Live topology soaks on the REAL TPU backend, r5: the "
+                "full reference 3-process topology (NREADER=2 ring with "
+                "a concurrent raw-baseband disk spill beside compute, "
+                "paf-baseband2power.py:117-127), a >=60 s true-cadence "
+                "(rate 1.0, 108 us/frame) run of hundreds of blocks, "
+                "and the sharded-rows streaming step (shard_map "
+                "series-TP with the int16 rows carry) as the live "
+                "compute stage.",
+        "environment": "Single v5e behind the axon tunnel; wire width "
+                       "tunnel-bound (SOAK_r03 environment note). "
+                       "Rates/widths chosen tunnel-sustainable; the "
+                       "kernels themselves run 38-253x real time "
+                       "(BENCH_r05).",
+        "runs": runs,
+        "date": time.strftime("%Y-%m-%d"),
+        "reproduce": ["python benchmarks/soak_r05.py"],
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -15,11 +15,26 @@ def apply_platform_env() -> None:
     through ``jax.config`` wins over the plugin's choice. No-op when the
     variable is unset or a backend is already initialized.
     """
+    import jax
+
+    # persistent compile cache (works with the axon backend): repeat runs
+    # of unchanged program shapes skip the 30-450 s remote compile server
+    # — load-bearing for real-time soaks, where a cold warmup can exceed
+    # the capture timeout. PAFB2P_NO_COMPILE_CACHE opts out.
+    if not os.environ.get("PAFB2P_NO_COMPILE_CACHE"):
+        cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
     plat = os.environ.get("JAX_PLATFORMS")
     if not plat:
         return
-    import jax
-
     try:
         jax.config.update("jax_platforms", plat)
     except Exception:
