@@ -85,6 +85,10 @@ def main(argv=None) -> int:
                     help="input blocks are host-corner-turned series rows "
                     "(capture --device-layout); auto-detected from the "
                     "ring header's ORDER SERIES field")
+    ap.add_argument("--wait-sod", action="store_true",
+                    help="ring input: start at the marked observation "
+                    "boundary, discarding pre-SOD blocks (mid-stream "
+                    "attach)")
     args = ap.parse_args(argv)
 
     from ..runtime import apply_platform_env
@@ -127,7 +131,8 @@ def main(argv=None) -> int:
 
         key = args.input.split(":", 1)[1] \
             if args.input.startswith("ring:") else args.input
-        source = RingSource(key, ndf=args.ndf, nchk=args.nchk)
+        source = RingSource(key, ndf=args.ndf, nchk=args.nchk,
+                            wait_sod=args.wait_sod)
         in_header = source.header
         if not args.device_layout and \
                 (in_header or {}).get("ORDER") == "SERIES":
