@@ -48,6 +48,11 @@ def main(argv=None) -> int:
                     help="full-Stokes records (4 x nchan)")
     ap.add_argument("--nspectra", type=int, default=1,
                     help="sub-block integration: N spectra per block")
+    ap.add_argument("--raw-spill", metavar="NAME", default=None,
+                    help="add a fourth stage: a second reader on the "
+                    "BASEBAND ring spilling raw blocks to NAME (input "
+                    "ring created with NREADER=2 — the dada_db -r 2 "
+                    "dual-reader topology)")
     ap.add_argument("--keep-rings", action="store_true")
     ap.add_argument("--lock-rings", action="store_true",
                     help="mlock ring segments in every attaching process "
@@ -103,9 +108,13 @@ def main(argv=None) -> int:
     for key in (key_in, key_out):
         if rb.exists(key):
             rb.destroy(key)
-    # NREADER from the config (dada_db -r, paf-baseband2power.py:114)
+    # NREADER from the config (dada_db -r, paf-baseband2power.py:114);
+    # the raw-spill tap needs a second reader slot
+    nreader_in = conf.diskdb.nreader
+    if args.raw_spill:
+        nreader_in = max(nreader_in, 2)
     rb.create(key_in, conf.diskdb_rbufsz, conf.diskdb.nblk,
-              nreader=conf.diskdb.nreader, lock_pages=args.lock_rings)
+              nreader=nreader_in, lock_pages=args.lock_rings)
     out_bufsz = max(conf.baseband2power_rbufsz, record_floats * 4)
     rb.create(key_out, out_bufsz, conf.baseband2power.nblk,
               nreader=conf.baseband2power.nreader,
@@ -134,6 +143,11 @@ def main(argv=None) -> int:
             ("dbdisk", "paf_dbdisk",
              ["-k", key_out, "-D", args.outdir, "-o", args.output, "-W"], 2),
         ]
+        if args.raw_spill:
+            stages.append(
+                ("rawspill", "paf_dbdisk",
+                 ["-k", key_in, "-D", args.outdir, "-o", args.raw_spill,
+                  "-W"], 3))
         for name, module, stage_args, cpu in stages:
             cmd = _stage_cmd(module, stage_args, cpu if args.pin else None)
             log.info("launch %s: %s", name, shlex.join(cmd))

@@ -224,3 +224,49 @@ def test_diskdb_marks_sod(tmp_path, keys):
     assert r.returncode == 0, r.stderr
     with rb.RingBuffer(key) as ring:
         assert ring.sod_block == 0
+
+
+def test_launcher_raw_spill_topology(tmp_path, keys):
+    """4-process topology: diskdb -> baseband ring (NREADER=2) with
+    compute AND a raw-baseband spill reading concurrently -> power ring
+    -> disk. The raw spill must reproduce the input bytes exactly."""
+    import configparser
+
+    k_in, k_out = keys
+    cfgp = tmp_path / "pipe.conf"
+    cfg = configparser.ConfigParser()
+    cfg["BasicConf"] = {"NSAMP_DF": "128", "NPOL_SAMP": "2",
+                        "NDIM_POL": "2", "NCHK_NIC": str(NCHK)}
+    cfg["DiskdbConf"] = {"NDF": str(NDF), "NBLK": "4", "KEY": k_in,
+                         "NREADER": "1", "SOD": "1",
+                         "KFNAME_PREFIX": "diskdb"}
+    cfg["Baseband2powerConf"] = {"KEY": k_out, "NCHAN": str(NCHK * 7),
+                                 "NBYTE": "4", "NBLK": "4", "NREADER": "1",
+                                 "KFNAME_PREFIX": "baseband2power"}
+    with open(cfgp, "w") as f:
+        cfg.write(f)
+
+    r = run_cli("launcher", "-c", str(cfgp), "-a", "synthetic:2",
+                "-b", str(tmp_path), "-o", "power.dada",
+                "--raw-spill", "raw.dada")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # power output matches the golden per block
+    reader = DadaFileReader(str(tmp_path / "power.dada"))
+    recs = [np.frombuffer(b, "<f4") for b in reader.blocks(NCHK * 7 * 4)]
+    reader.close()
+    assert len(recs) == 2
+    for i, rec in enumerate(recs):
+        want = baseband2power_golden(
+            F.synthetic_block(rng=i, ndf=NDF, nchk=NCHK))
+        np.testing.assert_allclose(rec, want, rtol=1e-5)
+
+    # the raw spill is byte-identical to the generated baseband
+    raw = DadaFileReader(str(tmp_path / "raw.dada"))
+    blocks = list(raw.blocks(NDF * NCHK * C.DT_SIZE))
+    raw.close()
+    assert len(blocks) == 2
+    for i, b in enumerate(blocks):
+        want = F.synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
+        np.testing.assert_array_equal(np.frombuffer(b, "<i2"),
+                                      want.reshape(-1))
