@@ -4,6 +4,7 @@
 
 #include <atomic>
 #include <cerrno>
+#include <initializer_list>
 #include <new>
 #include <cstdio>
 #include <cstring>
@@ -17,7 +18,15 @@
 namespace {
 
 constexpr uint64_t kMagic = 0x50414642325042ULL; /* "PAFB2PB" */
-constexpr uint32_t kVersion = 4;
+constexpr uint32_t kVersion = 5;
+/* reader-slot claim states: a released slot keeps its cursor (resume
+ * semantics for a restarted reader) but a NEW reader must prefer a
+ * never-claimed slot — otherwise a late-attaching second reader can
+ * inherit a finished slot's end-of-stream cursor and silently see an
+ * empty stream (found by the launcher's dual-reader topology test) */
+constexpr uint32_t kSlotFresh = 0;
+constexpr uint32_t kSlotLocked = 1;
+constexpr uint32_t kSlotReleased = 2;
 constexpr uint64_t kPollUs = 200; /* wait poll interval */
 constexpr uint64_t kNoEod = ~0ULL;
 constexpr uint64_t kNoSod = ~0ULL;
@@ -317,11 +326,16 @@ int64_t pafb2p_rb_sod_block(const pafb2p_rb *h) {
 int pafb2p_rb_lock_read(pafb2p_rb *h) {
   if (h->reader_slot >= 0)
     return -EPERM; /* already a reader */
-  for (uint32_t i = 0; i < h->ctl->nreaders; ++i) {
-    uint32_t expect = 0;
-    if (h->ctl->r_locked[i].compare_exchange_strong(expect, 1)) {
-      h->reader_slot = static_cast<int>(i);
-      return 0;
+  /* two passes: never-claimed slots first (a fresh reader starts at
+   * block 0), then released slots (a restarted reader resumes its
+   * predecessor's cursor) */
+  for (uint32_t want : {kSlotFresh, kSlotReleased}) {
+    for (uint32_t i = 0; i < h->ctl->nreaders; ++i) {
+      uint32_t expect = want;
+      if (h->ctl->r_locked[i].compare_exchange_strong(expect, kSlotLocked)) {
+        h->reader_slot = static_cast<int>(i);
+        return 0;
+      }
     }
   }
   return -EBUSY; /* all nreaders slots taken */
@@ -330,7 +344,7 @@ int pafb2p_rb_lock_read(pafb2p_rb *h) {
 int pafb2p_rb_unlock_read(pafb2p_rb *h) {
   if (h->reader_slot < 0)
     return -EPERM;
-  h->ctl->r_locked[h->reader_slot].store(0);
+  h->ctl->r_locked[h->reader_slot].store(kSlotReleased);
   h->reader_slot = -1;
   return 0;
 }

@@ -20,9 +20,10 @@ ENV = dict(os.environ, JAX_PLATFORMS="cpu",
 
 
 def run_cli(module, *args, **kw):
+    kw.setdefault("timeout", 180)
     return subprocess.run(
         [sys.executable, "-m", f"paf_baseband2power_tpu.cli.{module}", *args],
-        env=ENV, capture_output=True, text=True, timeout=180, **kw)
+        env=ENV, capture_output=True, text=True, **kw)
 
 
 @pytest.fixture
@@ -248,7 +249,7 @@ def test_launcher_raw_spill_topology(tmp_path, keys):
 
     r = run_cli("launcher", "-c", str(cfgp), "-a", "synthetic:2",
                 "-b", str(tmp_path), "-o", "power.dada",
-                "--raw-spill", "raw.dada")
+                "--raw-spill", "raw.dada", timeout=420)
     assert r.returncode == 0, r.stdout + r.stderr
 
     # power output matches the golden per block

@@ -438,3 +438,41 @@ def test_mid_stream_attach_resume(key):
                                   1, block_ps)
         assert utc == "2026-03-01-00:00:00"
         assert ps == block_ps
+
+
+def test_late_reader_gets_fresh_slot(key):
+    """A second reader attaching AFTER the first has finished and
+    released its slot must claim the never-used slot (cursor 0), not
+    inherit the finished one's end-of-stream cursor — otherwise the
+    dual-reader launcher topology silently loses the whole stream for
+    whichever reader attaches late."""
+    rb.create(key, bufsz=64, nbufs=4, nreader=2)
+    with rb.RingBuffer(key) as w:
+        w.lock_write()
+        for i in range(2):
+            view = w.open_block_write()
+            view[:] = i
+            w.close_block_write()
+        w.set_eod()
+        # reader 1 consumes everything and detaches
+        with rb.RingBuffer(key) as r1:
+            r1.lock_read()
+            while (v := r1.open_block_read()) is not None:
+                r1.close_block_read()
+            r1.unlock_read()
+        # reader 2 attaches late: must see the full stream
+        with rb.RingBuffer(key) as r2:
+            r2.lock_read()
+            seen = 0
+            while (v := r2.open_block_read()) is not None:
+                assert v[0] == seen
+                r2.close_block_read()
+                seen += 1
+            assert seen == 2
+            r2.unlock_read()
+        # a RECONNECTING reader (both slots now released) resumes a
+        # predecessor's cursor instead of rereading from zero
+        with rb.RingBuffer(key) as r3:
+            r3.lock_read()
+            assert r3.open_block_read() is None   # resumed at EOD
+            assert r3.at_eod()
