@@ -231,25 +231,19 @@ def test_launcher_raw_spill_topology(tmp_path, keys):
     """4-process topology: diskdb -> baseband ring (NREADER=2) with
     compute AND a raw-baseband spill reading concurrently -> power ring
     -> disk. The raw spill must reproduce the input bytes exactly."""
-    import configparser
-
     k_in, k_out = keys
     cfgp = tmp_path / "pipe.conf"
-    cfg = configparser.ConfigParser()
-    cfg["BasicConf"] = {"NSAMP_DF": "128", "NPOL_SAMP": "2",
-                        "NDIM_POL": "2", "NCHK_NIC": str(NCHK)}
-    cfg["DiskdbConf"] = {"NDF": str(NDF), "NBLK": "4", "KEY": k_in,
-                         "NREADER": "1", "SOD": "1",
-                         "KFNAME_PREFIX": "diskdb"}
-    cfg["Baseband2powerConf"] = {"KEY": k_out, "NCHAN": str(NCHK * 7),
-                                 "NBYTE": "4", "NBLK": "4", "NREADER": "1",
-                                 "KFNAME_PREFIX": "baseband2power"}
-    with open(cfgp, "w") as f:
-        cfg.write(f)
+    # uppercase keys: load_config is case-preserving like the reference
+    # dialect (a stock ConfigParser WRITER lowercases keys silently)
+    cfgp.write_text(
+        f"[BasicConf]\nNCHK_NIC: {NCHK}\n"
+        f"[DiskdbConf]\nNDF: {NDF}\nNBLK: 4\nKEY: {k_in}\n"
+        f"[Baseband2powerConf]\nKEY: {k_out}\nNCHAN: {NCHK * 7}\n"
+    )
 
     r = run_cli("launcher", "-c", str(cfgp), "-a", "synthetic:2",
                 "-b", str(tmp_path), "-o", "power.dada",
-                "--raw-spill", "raw.dada", timeout=420)
+                "--raw-spill", "raw.dada")
     assert r.returncode == 0, r.stdout + r.stderr
 
     # power output matches the golden per block
