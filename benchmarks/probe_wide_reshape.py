@@ -89,10 +89,16 @@ def micro(nseries: int, ndf: int, n1: int, R: int, widen: bool):
 # 2. PLANES: full channelizer tile, no widening
 # ---------------------------------------------------------------------------
 
-def planes_kernel(ntap: int, n1: int, R: int, nrow_tiles: int):
+def planes_kernel(ntap: int, n1: int, R: int, nrow_tiles: int,
+                  stage_a: str = "full"):
     """One-shot power spectrometer on the planes layout: FIR stencil per
     plane, stage-A N1-DFT across planes, N1 twiddle-folded MXU dots,
-    detect, fold — the production pipeline minus the widening."""
+    detect, fold — the production pipeline minus the widening.
+
+    ``stage_a``: cost-attribution ablations (results numerically WRONG
+    except "full"): "none" feeds chunks[0] to every k1 dot (zero stage-A
+    work, same MXU/epilogue volume); "noswap" keeps the n1^2 scaled-add
+    sum but drops the imaginary/roll terms (isolates roll cost)."""
 
     def kernel(x_ref, fh_ref, fl_ref, cv_ref, o_ref, buf):
         t = pl.program_id(1)
@@ -127,9 +133,39 @@ def planes_kernel(ntap: int, n1: int, R: int, nrow_tiles: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, chunks[0].shape, 1)
         even = (lane % 2) == 0
         alt = jnp.where(even, -1.0, 1.0)
-        swaps = [alt * jnp.where(even, pltpu.roll(c, 2 * L - 1, 1),
-                                 pltpu.roll(c, 1, 1))
-                 for c in chunks]
+
+        def icmul(c):
+            """i * c on interleaved lanes (the production swap trick)."""
+            return alt * jnp.where(even, pltpu.roll(c, 2 * L - 1, 1),
+                                   pltpu.roll(c, 1, 1))
+
+        if stage_a == "full":
+            swaps = [icmul(c) for c in chunks]
+
+        ffts = None
+        if stage_a == "fft8" and n1 == 8:
+            # radix-2^3 DIF on the NARROW chunks: ~60 vector ops vs the
+            # direct form's 128 scaled-adds + 8 rolls. Outputs feed the
+            # per-k1 operators directly (index map absorbs bit reversal).
+            s = 1.0 / math.sqrt(2.0)
+            t = [chunks[m] + chunks[m + 4] for m in range(4)]
+            d = [chunks[m] - chunks[m + 4] for m in range(4)]
+            u = [d[0],
+                 s * (d[1] - icmul(d[1])),      # * (1-i)/sqrt(2)
+                 -icmul(d[2]),                  # * -i
+                 -s * (d[3] + icmul(d[3]))]     # * -(1+i)/sqrt(2)
+
+            def dft4(x):
+                p0, p1 = x[0] + x[2], x[1] + x[3]
+                q0 = x[0] - x[2]
+                q1 = -icmul(x[1] - x[3])        # * W_4^1 = -i
+                return [p0 + p1, q0 + q1, p0 - p1, q0 - q1]  # k=0,1,2,3
+
+            e4, o4 = dft4(t), dft4(u)
+            ffts = [None] * 8
+            for r in range(4):
+                ffts[2 * r] = e4[r]
+                ffts[2 * r + 1] = o4[r]
 
         def bf3(a, k1):
             ahi = a.astype(jnp.bfloat16)
@@ -138,18 +174,25 @@ def planes_kernel(ntap: int, n1: int, R: int, nrow_tiles: int):
                     + dot(alo, fh_ref[k1]))
 
         for k1 in range(n1):
-            acc = None
-            for m in range(n1):
-                ang = -2.0 * math.pi * m * k1 / n1
-                wr, wi = math.cos(ang), math.sin(ang)
-                term = None
-                if abs(wr) > 1e-12:
-                    term = chunks[m] if abs(wr - 1.0) < 1e-12 \
-                        else wr * chunks[m]
-                if abs(wi) > 1e-12:
-                    t2 = swaps[m] if abs(wi - 1.0) < 1e-12 else wi * swaps[m]
-                    term = t2 if term is None else term + t2
-                acc = term if acc is None else acc + term
+            if stage_a == "none":
+                acc = chunks[0]
+            elif ffts is not None:
+                acc = ffts[k1]
+            else:
+                acc = None
+                for m in range(n1):
+                    ang = -2.0 * math.pi * m * k1 / n1
+                    wr, wi = math.cos(ang), math.sin(ang)
+                    term = None
+                    if abs(wr) > 1e-12:
+                        term = chunks[m] if abs(wr - 1.0) < 1e-12 \
+                            else wr * chunks[m]
+                    if stage_a == "full" and abs(wi) > 1e-12:
+                        t2 = swaps[m] if abs(wi - 1.0) < 1e-12 \
+                            else wi * swaps[m]
+                        term = t2 if term is None else term + t2
+                    if term is not None:
+                        acc = term if acc is None else acc + term
             y = bf3(acc, k1)
             p = y * y
             part = jnp.sum(p[:, 0:L].reshape(R // 8, 8, L), axis=0) \
@@ -163,7 +206,8 @@ def planes_kernel(ntap: int, n1: int, R: int, nrow_tiles: int):
     return kernel
 
 
-def planes_call(nseries: int, nrow: int, nfft: int, ntap: int, R: int):
+def planes_call(nseries: int, nrow: int, nfft: int, ntap: int, R: int,
+                stage_a: str = "full"):
     n1 = nfft // L
     from paf_baseband2power_tpu.ops.pfb import pfb_coeffs
 
@@ -176,7 +220,7 @@ def planes_call(nseries: int, nrow: int, nfft: int, ntap: int, R: int):
     fhi = f32.astype(jnp.bfloat16)
     flo = (f32 - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
     grid = (nseries, nrow // R)
-    kernel = planes_kernel(ntap, n1, R, nrow // R)
+    kernel = planes_kernel(ntap, n1, R, nrow // R, stage_a)
 
     def call(xp):
         part = pl.pallas_call(
@@ -256,9 +300,20 @@ def main():
             np.asarray(rows).reshape(nseries, nrow, n1, 256)
             .transpose(0, 2, 1, 3)))
     xp.block_until_ready()
-    pstep = planes_call(nseries, nrow, args.nfft, 4, R)
-    report["results"]["planes (no widening)"] = round(
-        time_step(pstep, xp) * 1e3, 2)
+    # R sweep: the wide formulation's VMEM scratch caps R at ~1024/n1;
+    # planes scratch stays narrow, so R (the MXU dots' M dimension) can
+    # grow — if bigger M recovers the delta, small-M MXU overhead is the
+    # remaining binding resource
+    for R_p, sa in ((R, "full"), (R, "fft8"), (R, "noswap"), (R, "none")):
+        if nrow % R_p:
+            continue
+        label = f"planes R={R_p} stage_a={sa}"
+        try:
+            pstep = planes_call(nseries, nrow, args.nfft, 4, R_p, sa)
+            report["results"][label] = round(time_step(pstep, xp) * 1e3, 2)
+        except Exception as e:
+            report["results"][label] = f"{type(e).__name__}: {str(e)[:120]}"
+        print(json.dumps(report["results"]), flush=True)
 
     # numerical check vs the XLA golden at reduced geometry
     from paf_baseband2power_tpu.ops import pfb as _pfb
@@ -270,17 +325,19 @@ def main():
     ns_s, nrow_s = 2 * 14, 64 // n1
     xs = jnp.asarray(np.ascontiguousarray(
         r_small.reshape(ns_s, nrow_s, n1, 256).transpose(0, 2, 1, 3)))
-    got = np.asarray(planes_call(ns_s, nrow_s, args.nfft, 4,
-                                 max(8, nrow_s // 2))(xs))
     want = _pfb.pfb_power_golden(blk, args.nfft, 4, shift=False)
     want2 = want.reshape(2 * 7, args.nfft)
-    # planes output is (nseries, nfft) per series incl. both pols,
-    # (k1, k2)-ordered lanes; restore k = n1*k2 + k1 then fold pols
-    g = got.reshape(ns_s, n1, L).transpose(0, 2, 1).reshape(ns_s, args.nfft)
-    g = g.reshape(2 * 7, 2, args.nfft).sum(axis=1)
-    err = float(np.abs(g - want2).max() / np.abs(want2).max())
-    report["parity_err"] = err
-    report["parity_ok"] = err < 2e-5
+    for sa in ("full", "fft8"):
+        got = np.asarray(planes_call(ns_s, nrow_s, args.nfft, 4,
+                                     max(8, nrow_s // 2), sa)(xs))
+        # planes output is (nseries, nfft) per series incl. both pols,
+        # (k1, k2)-ordered lanes; restore k = n1*k2 + k1, fold pols
+        g = got.reshape(ns_s, n1, L).transpose(0, 2, 1).reshape(
+            ns_s, args.nfft)
+        g = g.reshape(2 * 7, 2, args.nfft).sum(axis=1)
+        err = float(np.abs(g - want2).max() / np.abs(want2).max())
+        report[f"parity_err_{sa}"] = err
+        report[f"parity_ok_{sa}"] = err < 2e-5
 
     print(json.dumps(report, indent=1))
 

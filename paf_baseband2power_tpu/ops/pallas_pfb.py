@@ -313,6 +313,30 @@ def make_streaming_pfb_fused(nfft: int = _L, ntap: int = 4, **kw):
 # stage and DMA imperfection; closer approach needs fewer MACs, which
 # needs int8 operands the int16 samples cannot express in one plane.
 #
+# nfft>128 DELTA, RESOLVED (r5, benchmarks/probe_wide_reshape.py): the
+# 13.2 -> 23 ms gap at nfft=1024 decomposes by direct kernel ablation:
+#   * in-VMEM narrow->wide window reshape (the stencil fill's
+#     (R*n1,256)->(R,n1*256) regroup): ~2.5 ms. Isolated two ways: a
+#     micro kernel (narrow reduce 4.0 ms vs widen-then-reduce 5.9 at
+#     identical bytes) and a "planes" kernel variant consuming an
+#     (nseries, n1, nrow, 256) HBM layout where chunks[m] is a direct
+#     row slice (production 22.8 -> planes 20.3 ms).
+#   * stage-A N1-point DFT: ~7.9 ms of VPU work (scaled-add terms
+#     ~5.7, interleaved-roll/imag terms ~2.2). With stage A ablated to
+#     a passthrough the planes kernel runs 12.4 ms = exactly the
+#     nfft=128 level, so stage A + widening IS the whole delta.
+#   * stage-A cost is NOT raw ALU volume: a radix-2^3 DIF on the
+#     narrow planes chunks (~62 vector ops vs the direct form's ~136)
+#     recovers only 1.3 ms (20.3 -> 19.0, golden-parity clean) —
+#     vreg/scheduling-bound, consistent with the r4 wide-form radix-2
+#     neutrality. R sweep flat (M-size of the dots irrelevant).
+# Ceiling within this factorization: ~19 ms at nfft=1024 via a planes
+# capture layout + fft8 stage A (-17%), at the cost of an nfft-coupled
+# ring layout; eliminating stage A entirely requires growing the
+# stage-B operator (2*L2 MACs/sample doubles the 11 ms MXU floor).
+# Not shipped: the coupling isn't worth -17% on one mode; the probe
+# harness records the recipe if a deployment wants it.
+#
 # Output lanes per window come out (k1, k2)-ordered; true fine channel
 # k = N1*k2 + k1 is restored by a tiny (N1, 128) transpose in the XLA
 # epilogue. Waterfall grouping rides the grid: output spectrum
