@@ -22,6 +22,13 @@ def main(argv=None) -> int:
                     help="reader clients every block must pass through "
                     "(dada_db -r)")
     ap.add_argument("-d", "--destroy", action="store_true")
+    ap.add_argument("--sod", action="store_true",
+                    help="mark start-of-data at the ring's current write "
+                    "cursor (operational SOD control for a capture "
+                    "running with -b 0: SOD-waiting readers start at the "
+                    "next block committed after this)")
+    ap.add_argument("--status", action="store_true",
+                    help="print cursors/SOD/EOD as one JSON line")
     args = ap.parse_args(argv)
 
     from ..io import ringbuffer as rb
@@ -29,6 +36,22 @@ def main(argv=None) -> int:
     if args.destroy:
         rb.destroy(args.key)
         print(f"destroyed ring '{args.key}'")
+        return 0
+    if args.sod or args.status:
+        import json
+
+        with rb.RingBuffer(args.key) as ring:
+            if args.sod:
+                ring.set_sod()
+            print(json.dumps({
+                "key": args.key,
+                "bufsz": ring.bufsz,
+                "nbufs": ring.nbufs,
+                "nreaders": ring.nreaders,
+                "blocks_written": ring.blocks_written,
+                "blocks_read": ring.blocks_read,
+                "sod_block": ring.sod_block,
+            }))
         return 0
     if args.bufsz is None:
         ap.error("-b/--bufsz is required to create a ring")

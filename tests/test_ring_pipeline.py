@@ -265,3 +265,24 @@ def test_launcher_raw_spill_topology(tmp_path, keys):
         want = F.synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
         np.testing.assert_array_equal(np.frombuffer(b, "<i2"),
                                       want.reshape(-1))
+
+
+def test_paf_db_sod_and_status(tmp_path, keys):
+    """Operational SOD control: a capture started with -b 0 (no mark) can
+    be started later by `paf_db --sod`; --status reports cursors."""
+    import json as _json
+
+    key, _ = keys
+    r = run_cli("paf_db", "-k", key, "-b", "256", "-n", "4")
+    assert r.returncode == 0, r.stderr
+    r = run_cli("paf_db", "-k", key, "--status")
+    st = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert st["sod_block"] == -1 and st["blocks_written"] == 0
+    with rb.RingBuffer(key) as w:
+        w.lock_write()
+        w.open_block_write()
+        w.close_block_write()
+        r = run_cli("paf_db", "-k", key, "--sod")
+        st = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert st["sod_block"] == 1   # marks at the current cursor
+        w.unlock_write()
