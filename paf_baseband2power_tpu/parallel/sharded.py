@@ -223,7 +223,8 @@ def _tail_carry(v, tid, n_time: int, halo_len: int):
 def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
                          nout: int, stokes: bool, method: str, ops,
                          mean: bool, shift: bool, history=None,
-                         return_history: bool = False):
+                         return_history: bool = False,
+                         scatter_output: bool = False):
     """Per-shard composed detection on a local complex series: halo
     exchange, per-window detect, end-row window scatter into global
     slots, group fold, psum over time, normalize. The single shared
@@ -273,17 +274,31 @@ def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
         buf = buf.at[..., :ntap - 1, :].set(sb)
     g = buf[..., :slots_total, :].reshape(
         s.shape[:3] + (nout, wpg, nfft)).sum(axis=-2)
-    g = jax.lax.psum(g, TIME_AXIS)
+    nout_l = nout
+    if scatter_output and n_time > 1:
+        # reduce_scatter instead of allreduce: each time shard keeps only
+        # its own nout/n_time output groups — half the fine-channel
+        # waterfall's collective bytes (the one poorly-scaling payload,
+        # SCALING_BUDGET.md) and no broadcast back. Requires
+        # n_time | nout (validated in the factory).
+        g = jax.lax.psum_scatter(g, TIME_AXIS, scatter_dimension=3,
+                                 tiled=True)
+        nout_l = nout // n_time
+    else:
+        g = jax.lax.psum(g, TIME_AXIS)
     if mean:
         nwin_g = jnp.full((nout,), float(wpg))
         if history is None:
             nwin_g = nwin_g.at[0].add(-(ntap - 1))    # one-shot group 0
         nwin_g = jnp.maximum(nwin_g, 1.0)     # 0-window group: 0 not NaN
+        if nout_l != nout:
+            nwin_g = jax.lax.dynamic_slice_in_dim(
+                nwin_g, tid * nout_l, nout_l)
         g = g / (nwin_g * (1 if stokes else npol))[:, None]
     if shift:
         g = jnp.fft.fftshift(g, axes=-1)
     ns = g.shape[2]
-    out = g.transpose(3, 2, 0, 1, 4).reshape(nout, ns, -1)
+    out = g.transpose(3, 2, 0, 1, 4).reshape(nout_l, ns, -1)
     out = out if stokes else out[:, 0]
     return (out, carry) if return_history else out
 
@@ -306,7 +321,8 @@ def _ops_to_device(method: str, ops_np):
 def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
                               window: str = "hamming", nout: int = 1,
                               stokes: bool = False, mean: bool = False,
-                              shift: bool = True, streaming: bool = False):
+                              shift: bool = True, streaming: bool = False,
+                              scatter_output: bool = False):
     """Multi-device composed fine-channel detection: PFB x tscrunch
     waterfall x Stokes under ``shard_map``.
 
@@ -320,12 +336,27 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
     with the complex chunk-sharded carry of ``make_sharded_pfb_step`` —
     group 0 of every non-first block then holds its full window count
     (cross-block overlap-save continuity at any device count).
+
+    ``scatter_output``: reduce_scatter the grouped spectra over the time
+    axis instead of allreducing (requires ``n_time | nout``): the output
+    spectra axis comes back SHARDED ``P(time, ...)``, each shard owning
+    its contiguous nout/n_time groups — half the collective bytes of
+    the waterfall psum (the one poorly-scaling payload,
+    SCALING_BUDGET.md) and the natural layout for a time-frequency
+    consumer.
     """
     from ..ops.pfb import _block_to_series
 
     n_time = mesh.shape[TIME_AXIS]
+    if scatter_output and nout % n_time:
+        raise ValueError(
+            f"scatter_output needs n_time | nout (nout={nout}, "
+            f"n_time={n_time})")
     method, ops_np = _spectra_ops_np(nfft, ntap, window)
-    out_spec = P(None, None, CHUNK_AXIS) if stokes else P(None, CHUNK_AXIS)
+    scat = scatter_output and n_time > 1
+    nout_ax = TIME_AXIS if scat else None
+    out_spec = (P(nout_ax, None, CHUNK_AXIS) if stokes
+                else P(nout_ax, CHUNK_AXIS))
     in_spec = P(TIME_AXIS, CHUNK_AXIS)
     hspec = P(CHUNK_AXIS)
 
@@ -333,7 +364,8 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
         return _composed_shard_body(
             _block_to_series(block), block.shape[4], n_time, nfft, ntap,
             nout, stokes, method, _ops_to_device(method, ops_np), mean,
-            shift, history=history, return_history=return_history)
+            shift, history=history, return_history=return_history,
+            scatter_output=scatter_output)
 
     if not streaming:
         step = functools.partial(

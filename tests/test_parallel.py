@@ -604,3 +604,40 @@ def test_multibeam_rows_streaming():
         want = _pfb.pfb_spectra_golden(both, 128, 4, nout=4, stokes=True)
         _spectra_close(np.asarray(p1[b]), want[:2])
         _spectra_close(np.asarray(p2[b]), want[2:])
+
+
+@pytest.mark.parametrize("stokes", [False, True])
+def test_sharded_spectra_scatter_output(pfb_block, stokes):
+    """reduce_scatter output mode: the spectra axis comes back sharded
+    over time (each shard owns nout/n_time groups), numerically identical
+    to the allreduce form."""
+    mesh = M.make_mesh(n_time=4, n_chunk=2)
+    step = S.make_sharded_spectra_step(mesh, NFFT, NTAP, nout=8,
+                                       stokes=stokes, mean=True,
+                                       scatter_output=True)
+    out = step(S.shard_block(jnp.asarray(pfb_block), mesh))
+    # output sharded P(time, [None,] chunk) on the spectra axis
+    want_spec = (jax.sharding.PartitionSpec(M.TIME_AXIS, None, M.CHUNK_AXIS)
+                 if stokes else
+                 jax.sharding.PartitionSpec(M.TIME_AXIS, M.CHUNK_AXIS))
+    assert out.sharding.spec == want_spec
+    want = _pfb.pfb_spectra_golden(pfb_block, NFFT, NTAP, nout=8,
+                                   stokes=stokes, mean=True)
+    _spectra_close(np.asarray(out), want)
+    with pytest.raises(ValueError):
+        S.make_sharded_spectra_step(mesh, NFFT, NTAP, nout=6,
+                                    scatter_output=True)
+
+
+def test_sharded_spectra_scatter_streaming(pfb_block):
+    """Scatter output composes with the streaming carry."""
+    b2 = F.synthetic_block(rng=200, ndf=64, nchk=8)
+    both = np.concatenate([pfb_block, b2], axis=0)
+    mesh = M.make_mesh(n_time=8)
+    step = S.make_sharded_spectra_step(mesh, NFFT, NTAP, nout=8,
+                                       streaming=True, scatter_output=True)
+    p1, h = step(S.shard_block(jnp.asarray(pfb_block), mesh))
+    p2, _ = step(S.shard_block(jnp.asarray(b2), mesh), h)
+    want = _pfb.pfb_spectra_golden(both, NFFT, NTAP, nout=16)
+    _spectra_close(np.asarray(p1), want[:8])
+    _spectra_close(np.asarray(p2), want[8:])
