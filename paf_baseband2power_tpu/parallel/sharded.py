@@ -586,7 +586,8 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
                                     window: str = "hamming", nout: int = 1,
                                     stokes: bool = False, mean: bool = False,
                                     shift: bool = True,
-                                    streaming: bool = False):
+                                    streaming: bool = False,
+                                    scatter_output: bool = False):
     """Composed detection on the multi-host mesh: 2-D-per-beam blocks
     sharded ``P(beam, time, chunk)``, any combination of PFB x Stokes x
     tscrunch.
@@ -606,6 +607,15 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
         raise ValueError(
             "streaming carries exist only for fine-channel (nfft > 0) "
             "modes — coarse-channel detection has no cross-block state")
+    if scatter_output and not nfft:
+        raise ValueError(
+            "scatter_output applies to the fine-channel waterfall psum "
+            "(nfft > 0); coarse-channel modes have no time-axis "
+            "allreduce to scatter")
+    if scatter_output and nout % n_time:
+        raise ValueError(
+            f"scatter_output needs n_time | nout (nout={nout}, "
+            f"n_time={n_time})")
     if not nfft and nout == 1:
         if not stokes:
             raise ValueError(
@@ -660,8 +670,10 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
     from ..ops.pfb import _block_to_series
 
     method, ops_np = _spectra_ops_np(nfft, ntap, window)
-    out_spec = (P(BEAM_AXIS, None, None, CHUNK_AXIS) if stokes
-                else P(BEAM_AXIS, None, CHUNK_AXIS))
+    scat = scatter_output and n_time > 1
+    nout_ax = TIME_AXIS if scat else None
+    out_spec = (P(BEAM_AXIS, nout_ax, None, CHUNK_AXIS) if stokes
+                else P(BEAM_AXIS, nout_ax, CHUNK_AXIS))
     in_spec = P(BEAM_AXIS, TIME_AXIS, CHUNK_AXIS)
     hspec = P(BEAM_AXIS, CHUNK_AXIS)
 
@@ -676,7 +688,8 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
             return _composed_shard_body(
                 _block_to_series(block6), NPOL_SAMP, n_time, nfft, ntap,
                 nout, stokes, method, ops, mean, shift, history=h,
-                return_history=return_history)
+                return_history=return_history,
+                scatter_output=scatter_output)
 
         if history is None:
             return jax.vmap(lambda b: one(b, None))(blocks)

@@ -641,3 +641,29 @@ def test_sharded_spectra_scatter_streaming(pfb_block):
     want = _pfb.pfb_spectra_golden(both, NFFT, NTAP, nout=16)
     _spectra_close(np.asarray(p1), want[:8])
     _spectra_close(np.asarray(p2), want[8:])
+
+
+def test_multibeam_composed_scatter_output():
+    """Multibeam scatter: per-beam waterfalls come back time-sharded on
+    the spectra axis, golden-identical to the allreduce form."""
+    nbeam, ndf = 2, 64
+    mesh = M.make_beam_mesh(n_beam=2, n_time=2, n_chunk=2)
+    blocks = np.stack([F.synthetic_block(rng=210 + b, ndf=ndf, nchk=8)
+                       for b in range(nbeam)])
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(M.BEAM_AXIS, M.TIME_AXIS,
+                                         M.CHUNK_AXIS))
+    step = S.make_multibeam_composed_step_2d(
+        mesh, nfft=NFFT, ntap=NTAP, nout=4, stokes=True,
+        scatter_output=True)
+    out = step(jax.device_put(jnp.asarray(blocks.reshape(nbeam, ndf, -1)),
+                              spec))
+    assert out.sharding.spec == jax.sharding.PartitionSpec(
+        M.BEAM_AXIS, M.TIME_AXIS, None, M.CHUNK_AXIS)
+    for b in range(nbeam):
+        want = _pfb.pfb_spectra_golden(blocks[b], NFFT, NTAP, nout=4,
+                                       stokes=True)
+        _spectra_close(np.asarray(out[b]), want)
+    with pytest.raises(ValueError):
+        S.make_multibeam_composed_step_2d(mesh, nout=4, stokes=True,
+                                          scatter_output=True)
