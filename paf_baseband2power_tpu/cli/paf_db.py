@@ -26,7 +26,10 @@ def main(argv=None) -> int:
                     help="mark start-of-data at the ring's current write "
                     "cursor (operational SOD control for a capture "
                     "running with -b 0: SOD-waiting readers start at the "
-                    "next block committed after this)")
+                    "next block committed after this). Out-of-band "
+                    "marking is advisory within the block being "
+                    "committed at that instant — mark from the writer "
+                    "(-b 1 / diskdb -e 1) for an exact boundary")
     ap.add_argument("--status", action="store_true",
                     help="print cursors/SOD/EOD as one JSON line")
     args = ap.parse_args(argv)

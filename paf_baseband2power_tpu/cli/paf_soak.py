@@ -250,25 +250,30 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
             import os
 
             ring = rb.RingBuffer(key)
-            ring.lock_read()
-            hdr = ring.read_header()
-            from ..io.dada import DadaFileWriter
-
-            path = os.path.join(args.spill,
-                                f"{hdr.get('UTC_START', 'soak')}.dada")
             n = 0
-            with DadaFileWriter(path, hdr) as w:
-                while True:
-                    view = ring.open_block_read()
-                    if view is None:
-                        break
-                    w.write(view.tobytes())
-                    ring.close_block_read()
-                    n += 1
-            ring.unlock_read()
-            ring.disconnect()
-            spill_info["blocks"] = n
-            spill_info["path"] = path
+            try:
+                ring.lock_read()
+                hdr = ring.read_header()
+                from ..io.dada import DadaFileWriter
+
+                path = os.path.join(args.spill,
+                                    f"{hdr.get('UTC_START', 'soak')}.dada")
+                with DadaFileWriter(path, hdr) as w:
+                    while True:
+                        view = ring.open_block_read()
+                        if view is None:
+                            break
+                        w.write(view.tobytes())
+                        ring.close_block_read()
+                        n += 1
+                spill_info["path"] = path
+            except Exception as e:
+                # a dead tap must be diagnosable in the report, not just
+                # a blocks_spilled shortfall with a stderr traceback
+                spill_info["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                spill_info["blocks"] = n
+                ring.disconnect()   # releases the reader lock too
 
         sx = threading.Thread(target=spill)
         sx.start()
@@ -318,8 +323,10 @@ def _soak_with_engine(args, key, eng, pipe, sink, warmup_sec, frame_time,
     if args.spill:
         report["blocks_spilled"] = spill_info.get("blocks", 0)
         report["spill_path"] = spill_info.get("path")
+        if "error" in spill_info:
+            report["spill_error"] = spill_info["error"]
         report["pass"] = bool(
-            report["pass"]
+            report["pass"] and "error" not in spill_info
             and spill_info.get("blocks", 0) == int(eng.blocks_committed))
     return report
 

@@ -307,14 +307,20 @@ int pafb2p_rb_set_eod(pafb2p_rb *h) {
 
 int pafb2p_rb_set_sod(pafb2p_rb *h) {
   /* Marked at the committed cursor BEFORE the first observation block is
-   * written; the release ordering of close_block_write then guarantees any
-   * reader that sees a post-SOD block committed also sees the mark (so
-   * wait_sod can never discard observation data). Not restricted to the
-   * lock-holding handle: capture registers its header from a sibling
+   * written; when the marking process is the writer (paf_capture /
+   * paf_diskdb), the release ordering of close_block_write guarantees any
+   * reader that sees a post-SOD block committed also sees the mark, so
+   * wait_sod can never discard observation data. Marking from a THIRD
+   * process (paf_db --sod) has no such happens-before with the writer's
+   * commits — seq_cst here plus wait_sod's re-check before each discard
+   * shrinks that window to memory-propagation scale, but out-of-band
+   * marking remains advisory within the block being committed at that
+   * instant (block cadence ~1 s; the window is ~us). Not restricted to
+   * the lock-holding handle: capture registers its header from a sibling
    * connection in the same process (cli/paf_capture.py), like PSRDADA's
    * unpoliced ipcbuf_enable_sod. */
   uint64_t start = h->ctl->w_closed.load(std::memory_order_relaxed);
-  h->ctl->sod_block.store(start, std::memory_order_release);
+  h->ctl->sod_block.store(start, std::memory_order_seq_cst);
   return 0;
 }
 
@@ -402,8 +408,11 @@ int64_t pafb2p_rb_wait_sod(pafb2p_rb *h, uint64_t timeout_us) {
     uint64_t w = c->w_closed.load(std::memory_order_acquire);
     uint64_t sod = c->sod_block.load(std::memory_order_acquire);
     if (sod != kNoSod) {
+      /* return where this reader actually starts: a RESUMED slot may
+       * already stand past the mark, and start_block's contract is
+       * "first block this source will yield" */
       if (r >= sod)
-        return static_cast<int64_t>(sod);
+        return static_cast<int64_t>(r);
       /* fast-forward over committed pre-SOD blocks (never past w: the
        * cursor invariant r <= w must hold) */
       uint64_t target = sod < w ? sod : w;
@@ -415,7 +424,11 @@ int64_t pafb2p_rb_wait_sod(pafb2p_rb *h, uint64_t timeout_us) {
       /* r == w < sod: the pre-SOD blocks aren't all committed yet */
     } else if (w > r) {
       /* discard one pre-SOD block so the writer is never stalled by a
-       * SOD-waiting reader, however much transient data flows */
+       * SOD-waiting reader, however much transient data flows. Re-check
+       * the mark right before the bump (seq_cst pairs with set_sod):
+       * narrows the out-of-band paf_db --sod race to propagation scale */
+      if (c->sod_block.load(std::memory_order_seq_cst) != kNoSod)
+        continue;
       c->r_opened[s].store(r + 1, std::memory_order_relaxed);
       c->r_closed[s].store(r + 1, std::memory_order_release);
       continue;

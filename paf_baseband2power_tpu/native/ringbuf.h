@@ -94,11 +94,13 @@ int pafb2p_rb_at_eod(const pafb2p_rb *h); /* 1 once all written data consumed */
 /* Wait for the observation start and fast-forward to it: committed blocks
  * before the SOD mark are discarded (released back to the writer as they
  * arrive, so a SOD-waiting reader never stalls the writer no matter how
- * much pre-observation data flows). Returns the SOD block index once the
- * reader cursor stands on it; -ETIMEDOUT after timeout_us; -ENODATA if the
- * stream ended without a SOD mark. Requires a locked reader with no block
- * open. Enables mid-stream attach: a reader joining a running ring starts
- * at the marked observation boundary (PSRDADA SOD semantics). */
+ * much pre-observation data flows). Returns the index of the first block
+ * this reader will yield — the SOD block, or the resumed slot's cursor if
+ * that already stands past the mark; -ETIMEDOUT after timeout_us;
+ * -ENODATA if the stream ended without a SOD mark. Requires a locked
+ * reader with no block open. Enables mid-stream attach: a reader joining
+ * a running ring starts at the marked observation boundary (PSRDADA SOD
+ * semantics). */
 int64_t pafb2p_rb_wait_sod(pafb2p_rb *h, uint64_t timeout_us);
 
 /* observability */

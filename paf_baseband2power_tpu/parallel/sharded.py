@@ -303,6 +303,35 @@ def _composed_shard_body(v, npol: int, n_time: int, nfft: int, ntap: int,
     return (out, carry) if return_history else out
 
 
+def _oneshot_step(mesh, body, in_spec, out_spec, check_vma: bool = True):
+    """jit(shard_map) of a ``body(x, history, return_history)`` in its
+    one-shot form — shared by every step factory."""
+    kw = {} if check_vma else {"check_vma": False}
+    return jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        **kw)(lambda x: body(x, None, False)))
+
+
+def _streaming_step(mesh, body, in_spec, out_spec, hspec,
+                    check_vma: bool = True):
+    """The streaming program pair for a ``body(x, history,
+    return_history)``: a no-history trace (first block) and a
+    with-history trace, behind one ``step(x, history=None) ->
+    (out, new_history)`` dispatcher — shared by every step factory."""
+    kw = {} if check_vma else {"check_vma": False}
+    step0 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(out_spec, hspec), **kw)(lambda x: body(x, None, True)))
+    step1 = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
+        out_specs=(out_spec, hspec), **kw)(lambda x, h: body(x, h, True)))
+
+    def step(x, history=None):
+        return step0(x) if history is None else step1(x, history)
+
+    return step
+
+
 def _spectra_ops_np(nfft: int, ntap: int, window: str):
     """(method, host operators) for the composed shard bodies."""
     from ..ops.pfb import _MATMUL_NFFT_MAX, pfb_coeffs, pfb_matmul_weights
@@ -368,22 +397,8 @@ def make_sharded_spectra_step(mesh, nfft: int, ntap: int = 4,
             scatter_output=scatter_output)
 
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=in_spec,
-            out_specs=out_spec)(lambda b: body(b, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
-        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
-
-    def step(block, history=None):
-        return step0(block) if history is None else step1(block, history)
-
-    return step
+        return _oneshot_step(mesh, body, in_spec, out_spec)
+    return _streaming_step(mesh, body, in_spec, out_spec, hspec)
 
 
 def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
@@ -425,22 +440,8 @@ def make_sharded_pfb_step(mesh, nfft: int, ntap: int = 4,
                                return_history=return_history)
 
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=in_spec,
-            out_specs=P(CHUNK_AXIS))(lambda b: body(b, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(P(CHUNK_AXIS), hspec))(lambda b: body(b, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
-        out_specs=(P(CHUNK_AXIS), hspec))(lambda b, h: body(b, h, True)))
-
-    def step(block, history=None):
-        return step0(block) if history is None else step1(block, history)
-
-    return step
+        return _oneshot_step(mesh, body, in_spec, P(CHUNK_AXIS))
+    return _streaming_step(mesh, body, in_spec, P(CHUNK_AXIS), hspec)
 
 
 def _pfb_shard_body(v, n_time: int, nfft: int, ntap: int, coeffs,
@@ -536,22 +537,8 @@ def make_multibeam_pfb_step_2d(mesh, nfft: int, ntap: int = 4,
         return jax.vmap(one)(blocks, history)
 
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=in_spec,
-            out_specs=out_spec)(lambda b: body(b, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
-        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
-
-    def step(blocks, history=None):
-        return step0(blocks) if history is None else step1(blocks, history)
-
-    return step
+        return _oneshot_step(mesh, body, in_spec, out_spec)
+    return _streaming_step(mesh, body, in_spec, out_spec, hspec)
 
 
 def make_sharded_stokes_scrunch_step(mesh, nout: int, mean: bool = False):
@@ -696,22 +683,8 @@ def make_multibeam_composed_step_2d(mesh, nfft: int = 0, ntap: int = 4,
         return jax.vmap(one)(blocks, history)
 
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=in_spec,
-            out_specs=out_spec)(lambda b: body(b, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(out_spec, hspec))(lambda b: body(b, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
-        out_specs=(out_spec, hspec))(lambda b, h: body(b, h, True)))
-
-    def step(blocks, history=None):
-        return step0(blocks) if history is None else step1(blocks, history)
-
-    return step
+        return _oneshot_step(mesh, body, in_spec, out_spec)
+    return _streaming_step(mesh, body, in_spec, out_spec, hspec)
 
 
 def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
@@ -802,26 +775,12 @@ def make_multibeam_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         out = out.reshape(lead + (nbeam_l, nseries // 2))
         return jnp.moveaxis(out, -2, 0)
 
+    # check_vma=False: pallas_call outputs carry no vma annotations
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
-            check_vma=False,  # pallas_call outputs carry no vma annotations
-        )(lambda b: body(b, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(out_spec, hspec),
-        check_vma=False)(lambda b: body(b, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec, hspec),
-        out_specs=(out_spec, hspec),
-        check_vma=False)(lambda b, h: body(b, h, True)))
-
-    def step(blocks, history=None):
-        return step0(blocks) if history is None else step1(blocks, history)
-
-    return step
+        return _oneshot_step(mesh, body, in_spec, out_spec,
+                             check_vma=False)
+    return _streaming_step(mesh, body, in_spec, out_spec, hspec,
+                           check_vma=False)
 
 
 def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
@@ -881,24 +840,9 @@ def make_sharded_rows_step(mesh, nfft: int = 0, ntap: int = 4,
         return baseband2power_scrunch_rows_pallas(
             rows, nout, mean=mean, interpret=interpret)
 
+    # check_vma=False: pallas_call outputs carry no vma annotations
     if not streaming:
-        step = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=P(CHUNK_AXIS),
-            out_specs=out_spec,
-            check_vma=False,  # pallas_call outputs carry no vma annotations
-        )(lambda r: body(r, None, False))
-        return jax.jit(step)
-
-    step0 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(CHUNK_AXIS),),
-        out_specs=(out_spec, hspec),
-        check_vma=False)(lambda r: body(r, None, True)))
-    step1 = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(CHUNK_AXIS), hspec),
-        out_specs=(out_spec, hspec),
-        check_vma=False)(lambda r, h: body(r, h, True)))
-
-    def step(rows, history=None):
-        return step0(rows) if history is None else step1(rows, history)
-
-    return step
+        return _oneshot_step(mesh, body, P(CHUNK_AXIS), out_spec,
+                             check_vma=False)
+    return _streaming_step(mesh, body, P(CHUNK_AXIS), out_spec, hspec,
+                           check_vma=False)
