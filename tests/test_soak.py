@@ -60,11 +60,26 @@ def test_soak_python_sender(tmp_path):
 
 def test_soak_device_layout(tmp_path):
     """Live topology with the host SIMD corner turn: capture places
-    series-row blocks, compute consumes them with zero device relayout."""
-    report = _run_soak(
-        ["--seconds", "3", "--rate", "1.0", "--ndf", "1024",
-         "--nchk", "2", "--nports", "1", "--nblk", "8",
-         "--device-layout", "--port-base", "29540"], tmp_path)
-    assert report["pass"], report
-    assert report["loss"] <= 0.05
-    assert report["blocks_computed"] >= report["expected_blocks"] - 1
+    series-row blocks, compute consumes them with zero device relayout.
+    Same retry discipline as the rate-1.0 native-sender test: the
+    fall-behind policy under test is probabilistic when the OS preempts
+    capture for >2*ndf frame-times on an oversubscribed CI host."""
+    import time
+
+    last = None
+    for attempt in range(3):
+        if attempt:
+            time.sleep(5)
+        try:
+            report = _run_soak(
+                ["--seconds", "3", "--rate", "1.0", "--ndf", "1024",
+                 "--nchk", "2", "--nports", "1", "--nblk", "8",
+                 "--device-layout",
+                 "--port-base", str(29540 + 10 * attempt)], tmp_path)
+            assert report["pass"], report
+            assert report["loss"] <= 0.05
+            assert report["blocks_computed"] >= report["expected_blocks"] - 1
+            return
+        except AssertionError as e:  # pragma: no cover - load dependent
+            last = e
+    raise last
