@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                     help="feed series-row (ORDER SERIES) blocks; beams "
                     "run data-parallel through the production rows "
                     "kernels with zero collectives")
+    ap.add_argument("--scatter-output", action="store_true",
+                    help="reduce_scatter composed fine-channel spectra "
+                    "over the time axis instead of allreducing (half the "
+                    "collective bytes of the waterfall psum; needs "
+                    "n_time | nspectra)")
     ap.add_argument("--fetch-every", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats-json", action="store_true")
@@ -62,7 +67,8 @@ def main(argv=None) -> int:
                              log_dir=args.dir, pfb_nfft=args.pfb,
                              pfb_ntap=args.ntap, stokes=args.stokes,
                              nout=args.nspectra,
-                             device_layout=args.device_layout)
+                             device_layout=args.device_layout,
+                             scatter_output=args.scatter_output)
 
     if args.input.startswith("synthetic"):
         n = int(args.input.split(":", 1)[1]) if ":" in args.input else 4

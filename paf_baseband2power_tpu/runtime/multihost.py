@@ -52,7 +52,8 @@ class MultihostRunner:
                  mean: bool = False, log_dir: str | None = None,
                  pfb_nfft: int = 0, pfb_ntap: int = 4,
                  stokes: bool = False, nout: int = 1,
-                 device_layout: bool = False):
+                 device_layout: bool = False,
+                 scatter_output: bool = False):
         init_distributed()
         self.nbeam_total = nbeam_total
         self.ndf, self.nchk = ndf, nchk
@@ -132,7 +133,11 @@ class MultihostRunner:
 
             self.step = make_multibeam_composed_step_2d(
                 self.mesh, nfft=pfb_nfft, ntap=pfb_ntap, nout=nout,
-                stokes=stokes, mean=mean, streaming=self._stateful)
+                stokes=stokes, mean=mean, streaming=self._stateful,
+                # reduce_scatter the waterfall over the time axis (half
+                # the collective bytes; the allgather in run() reassembles
+                # the full spectra for the sink either way)
+                scatter_output=scatter_output and bool(pfb_nfft))
         elif pfb_nfft:
             # fine-channel spectrometer: the overlap-save halo ppermutes
             # over the global time axis, so with host boundaries on time

@@ -327,3 +327,30 @@ def test_two_process_device_layout_pfb_streaming(tmp_path):
                 recs[2 * i + b], want_all[i], rtol=2e-4,
                 atol=1e-5 * np.abs(want_all).max(),
                 err_msg=f"beam {b} block {i}")
+
+
+def test_two_process_composed_scatter_output(tmp_path):
+    """--scatter-output across processes: the waterfall reduce_scatter
+    replaces the allreduce, the gathered records stay golden-identical."""
+    from paf_baseband2power_tpu.ops.pfb import pfb_spectra_golden
+
+    nfft, ntap, nout = 16, 4, 8
+    out = str(tmp_path / "scat.dada")
+    _run_two_procs(["-a", f"synthetic:{NBLOCKS}", "-b", out, "--nbeam", "1",
+                    "--ndf", str(NDF), "--nchk", str(NCHK),
+                    "--pfb", str(nfft), "--ntap", str(ntap),
+                    "--stokes", "--nspectra", str(nout),
+                    "--scatter-output"], tmp_path)
+    rec_floats = nout * 4 * NCHK * C.NCHAN_CHK * nfft
+    recs = _read_power(out, rec_floats)
+    assert len(recs) == NBLOCKS
+    blocks = [synthetic_block(rng=i, ndf=NDF, nchk=NCHK)
+              for i in range(NBLOCKS)]
+    want_all = pfb_spectra_golden(np.concatenate(blocks, axis=0), nfft,
+                                  ntap, nout=NBLOCKS * nout, stokes=True)
+    for i, rec in enumerate(recs):
+        want = want_all[i * nout:(i + 1) * nout]
+        np.testing.assert_allclose(rec.reshape(want.shape), want,
+                                   rtol=2e-4,
+                                   atol=1e-5 * np.abs(want_all).max(),
+                                   err_msg=f"block {i}")
