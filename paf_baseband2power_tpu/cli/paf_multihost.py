@@ -50,6 +50,10 @@ def main(argv=None) -> int:
                     "over the time axis instead of allreducing (half the "
                     "collective bytes of the waterfall psum; needs "
                     "n_time | nspectra)")
+    ap.add_argument("--wait-sod", action="store_true",
+                    help="ring feeder: start at the marked observation "
+                    "boundary, discarding pre-SOD blocks (mid-stream "
+                    "attach; every host must see the mark on its ring)")
     ap.add_argument("--fetch-every", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats-json", action="store_true")
@@ -82,11 +86,12 @@ def main(argv=None) -> int:
         if args.device_layout:
             nbeam_l, nseries, ndf_l, seg = runner.local_shape
             ring = RingSource(key, ndf=ndf_l, nchk=args.nchk,
-                              layout="rows")
+                              layout="rows", wait_sod=args.wait_sod)
             source = (blk.reshape(1, nseries, ndf_l, seg) for blk in ring)
         else:
             nbeam_l, ndf_l, lanes = runner.local_shape
-            ring = RingSource(key, ndf=ndf_l, nchk=args.nchk)
+            ring = RingSource(key, ndf=ndf_l, nchk=args.nchk,
+                              wait_sod=args.wait_sod)
             source = (blk.reshape(1, ndf_l, -1) for blk in ring)
         # layout mismatch = silently transposed garbage; the runner's
         # step is already built for args.device_layout, so unlike
