@@ -135,7 +135,10 @@ def main(argv=None) -> int:
 
         stages = [
             ("diskdb", "paf_diskdb",
-             ["-a", key_in, "-b", args.outdir, "-c", args.input], 0),
+             # forward the config's SOD flag (DiskdbConf SOD,
+             # paf-baseband2power.conf:14 / paf-baseband2power.py:86)
+             ["-a", key_in, "-b", args.outdir, "-c", args.input,
+              "-e", str(conf.diskdb.sod)], 0),
             ("baseband2power", "paf_baseband2power",
              ["-a", f"ring:{key_in}", "-b", f"ring:{key_out}",
               "-c", args.outdir,
